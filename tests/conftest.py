@@ -1,0 +1,47 @@
+"""Test configuration: run everything on CPU with 8 virtual devices.
+
+Sharding tests need a multi-device mesh; per the project plan we validate
+multi-chip code paths on a virtual CPU mesh (the driver separately dry-runs
+the multi-chip path). Must be set before JAX initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+from seqalign_tpu.models import ScoringModel, load_builtin
+
+
+@pytest.fixture(scope="session")
+def blosum62():
+    return load_builtin(
+        "BLOSUM62",
+        ScoringModel(gap_open=-2, gap_extend=-1, use_match_mismatch=False),
+    )
+
+
+@pytest.fixture(scope="session")
+def pam250():
+    return load_builtin(
+        "PAM250",
+        ScoringModel(gap_open=-2, gap_extend=-1, use_match_mismatch=False),
+    )
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def random_protein(rng, length):
+    """Random residues drawn from the 20 standard amino acids."""
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    return "".join(aas[i] for i in rng.integers(0, len(aas), size=length))
