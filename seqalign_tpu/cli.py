@@ -1,0 +1,296 @@
+"""``smith_waterman``-compatible command-line tool.
+
+Behavioral parity with the reference binary (``src/tools/sw_cmdline.c`` +
+``cmdline_new``, ``src/alignment_cmdline.c:177-308``):
+
+- case-insensitive flags, same names and arity;
+- defaults match=2, mismatch=-2, gapopen=-2, gapextend=-1;
+- loading a substitution matrix without ``--match`` disables match/mismatch
+  mode (``src/alignment_cmdline.c:294-297``);
+- ``--files <query> <db>`` prints the "Query File=... and Database File=..."
+  line exactly like the reference (``src/alignment_cmdline.c:274``);
+- per-entry output ``Entry #N:`` / ``score: S`` and the trailing
+  ``Total Time:`` / ``Total Entries:`` lines are parse-compatible with the
+  reference's test and benchmark harnesses (``test/tests.py:44-56``,
+  ``benchmarks/benchmark.py:31``);
+- error messages and nonzero exits for the same invalid invocations.
+
+Extensions (new flags, all optional): ``--engine``, ``--lanes``,
+``--no-sort``, ``--topk N`` (print only the N best entries),
+``--json`` (machine-readable output).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .models.matrices import load_substitution_matrix
+from .models.scoring import ScoringModel, sw_default_scoring
+
+USAGE = """usage: {prog} [OPTIONS] [seq1 seq2]
+  Smith-Waterman optimal local alignment (maximises score).
+  Takes a query FASTA and a database FASTA and scores the query against
+  every database record. Can read gzip files, FASTA and FASTQ.
+
+  OPTIONS:
+    --file <file>        Sequence file reading with gzip support - read two
+                         sequences at a time and align them
+    --files <f1> <f2>    Read one sequence from each file to align at one time
+    --stdin              Read from STDIN (same as '--file -')
+
+    --match <score>      [default: {match}]
+    --mismatch <score>   [default: {mismatch}]
+    --gapopen <score>    [default: {gapopen}]
+    --gapextend <score>  [default: {gapextend}]
+
+    --substitution_matrix <file>  see details for formatting
+
+    --minscore <score>   Minimum required score
+                         [default: match * MAX(0.2 * length, 2)]
+
+    --printseq           Print sequences before local alignments
+    --printmatrices      Print dynamic programming matrices
+    --printfasta         Print fasta header lines
+    --pretty             Print with a descriptor line
+    --colour             Print with colour
+
+  EXTENSIONS (seqalign_tpu):
+    --engine <name>      pallas | wavefront | scan | oracle  [default: auto]
+    --lanes <n>          lane-batch width override
+    --no-sort            do not length-sort the database (assume pre-sorted)
+    --topk <n>           print only the n best-scoring entries
+    --json               print results as one JSON object
+
+ DETAILS:
+  * Gap (of length N) penalty is: (open+N*extend)
+  * To do alignment without affine gap penalty, set '--gapopen 0'.
+  * Scoring files should be matrices, with entries separated by a single
+    character or whitespace, or a builtin name (BLOSUM45, BLOSUM62, PAM250).
+"""
+
+
+def _usage_exit(prog: str, scoring: ScoringModel, err: str | None) -> int:
+    if err is not None:
+        sys.stderr.write("Error: " + err + ("\n" if not err.endswith("\n") else ""))
+    sys.stderr.write(
+        USAGE.format(
+            prog=prog,
+            match=scoring.match,
+            mismatch=scoring.mismatch,
+            gapopen=scoring.gap_open,
+            gapextend=scoring.gap_extend,
+        )
+    )
+    return 1
+
+
+def _parse_int(s: str):
+    try:
+        return int(s)
+    except ValueError:
+        return None
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv if argv is None else argv)
+    prog = argv[0] if argv else "smith_waterman"
+    args = argv[1:]
+    scoring = sw_default_scoring()
+
+    if not args:
+        return _usage_exit(prog, scoring, None)
+    for a in args:
+        if a.lower() in ("--help", "-help", "-h"):
+            return _usage_exit(prog, scoring, None)
+
+    file1 = file2 = None
+    substitutions_set = match_set = False
+    print_seq = print_fasta = False
+    engine = None
+    lanes = None
+    sort = True
+    topk = None
+    as_json = False
+    matrix_spec = None
+
+    i = 0
+    n = len(args)
+    while i < n:
+        a = args[i]
+        al = a.lower()
+        if a.startswith("-"):
+            if al == "--printseq":
+                print_seq = True
+            elif al == "--printmatrices":
+                pass  # parsed but inert, like the reference (sw_cmdline.c:40-42)
+            elif al == "--printfasta":
+                print_fasta = True
+            elif al == "--pretty" or al == "--colour":
+                pass  # parsed but inert, like the reference
+            elif al == "--stdin":
+                file1, file2 = "", None
+            elif al == "--no-sort":
+                sort = False
+            elif al == "--json":
+                as_json = True
+            elif i == n - 1:
+                return _usage_exit(
+                    prog, scoring, f"Unknown argument without parameter: {a}"
+                )
+            elif al == "--substitution_matrix":
+                matrix_spec = args[i + 1]
+                substitutions_set = True
+                i += 1
+            elif al == "--match":
+                v = _parse_int(args[i + 1])
+                if v is None:
+                    return _usage_exit(
+                        prog,
+                        scoring,
+                        f"Invalid --match argument ('{args[i+1]}') must be an int",
+                    )
+                scoring.match = v
+                match_set = True
+                i += 1
+            elif al == "--mismatch":
+                v = _parse_int(args[i + 1])
+                if v is None:
+                    return _usage_exit(
+                        prog,
+                        scoring,
+                        f"Invalid --mismatch argument ('{args[i+1]}') must be an int",
+                    )
+                scoring.mismatch = v
+                i += 1
+            elif al == "--gapopen":
+                v = _parse_int(args[i + 1])
+                if v is None:
+                    return _usage_exit(
+                        prog,
+                        scoring,
+                        f"Invalid --gapopen argument ('{args[i+1]}') must be an int",
+                    )
+                scoring.gap_open = v
+                i += 1
+            elif al == "--gapextend":
+                v = _parse_int(args[i + 1])
+                if v is None:
+                    return _usage_exit(
+                        prog,
+                        scoring,
+                        f"Invalid --gapextend argument ('{args[i+1]}') must be an int",
+                    )
+                scoring.gap_extend = v
+                i += 1
+            elif al == "--file":
+                file1, file2 = args[i + 1], None
+                i += 1
+            elif al == "--engine":
+                engine = args[i + 1]
+                i += 1
+            elif al == "--lanes":
+                lanes = _parse_int(args[i + 1])
+                i += 1
+            elif al == "--topk":
+                topk = _parse_int(args[i + 1])
+                i += 1
+            elif al == "--files":
+                if i >= n - 2:
+                    return _usage_exit(prog, scoring, "--files option takes 2 arguments")
+                print(f"Query File={args[i+1]} and Database File={args[i+2]}")
+                if args[i + 1] == "-" and args[i + 2] == "-":
+                    file1, file2 = args[i + 1], None
+                else:
+                    file1, file2 = args[i + 1], args[i + 2]
+                i += 2
+            else:
+                return _usage_exit(prog, scoring, f"Unknown argument '{a}'")
+        else:
+            if n - i != 2:
+                return _usage_exit(prog, scoring, f"Unknown options: '{a}'")
+            break
+        i += 1
+
+    if matrix_spec is not None:
+        try:
+            load_substitution_matrix(matrix_spec, scoring)
+        except OSError:
+            return _usage_exit(prog, scoring, f"Couldn't read: {matrix_spec}")
+
+    if substitutions_set and not match_set:
+        scoring.use_match_mismatch = False
+    scoring.finalize()
+
+    if scoring.use_match_mismatch and scoring.match < scoring.mismatch:
+        return _usage_exit(
+            prog, scoring, "Match value should not be less than mismatch penalty"
+        )
+    if file1 is None or file2 is None:
+        if file1 is not None and file2 is None and file1 == "":
+            sys.stderr.write(
+                "Error: Both query and database files must be provided\n"
+            )
+            return 0  # reference main returns EXIT_SUCCESS here
+        return _usage_exit(prog, scoring, "No input specified")
+
+    from .pipeline import search_files
+
+    try:
+        result = search_files(file1, file2, scoring, engine=engine, lanes=lanes)
+    except ValueError as e:
+        sys.stderr.write(str(e) + "\n")
+        return 0  # reference prints the error and exits successfully
+
+    out = sys.stdout
+    if as_json:
+        import json
+
+        order = range(result.total_entries)
+        if topk is not None:
+            import numpy as np
+
+            order = list(np.argsort(-result.scores, kind="stable")[:topk])
+        json.dump(
+            {
+                "query": result.query_name,
+                "entries": [
+                    {
+                        "entry": int(k),
+                        "name": result.names[k],
+                        "score": int(result.scores[k]),
+                    }
+                    for k in order
+                ],
+                "total_time": result.kernel_time,
+                "total_entries": result.total_entries,
+            },
+            out,
+        )
+        out.write("\n")
+        return 0
+
+    if print_fasta:
+        out.write(result.query_name + "\n")
+    if print_seq:
+        out.write(result.query_seq + "\n")
+
+    order = range(result.total_entries)
+    if topk is not None:
+        import numpy as np
+
+        order = list(np.argsort(-result.scores, kind="stable")[:topk])
+    for k in order:
+        out.write(f"Entry #{k}:\n")
+        if print_fasta:
+            out.write(result.names[k] + "\n")
+        if print_seq:
+            out.write(result.seqs[k] + "\n")
+        out.write(f"score: {int(result.scores[k])}\n\n")
+
+    out.write(f"Total Time: {result.kernel_time:f}\n")
+    out.write(f"Total Entries: {result.total_entries}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

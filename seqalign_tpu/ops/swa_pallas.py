@@ -27,6 +27,15 @@ but sized and laid out for the TPU vector unit and memory system:
   overflow-rescan machinery the BASELINE north star asks for are subsumed:
   int32 cannot overflow for any realistic sequence (|score| <= 127 * len).
 
+Implementation note: the query loop is a ``fori_loop`` over *groups* of
+``UI`` unrolled rows, with the per-j-block left/diagonal state routed through
+a small VMEM scratch buffer between groups rather than loop carries. Mosaic's
+layout solver (jax 0.9/libtpu in this image) rejects loop carries whose
+yielded value is not derived from the same carry slot ("Invalid relayout:
+... replicated in destination but not in source"), which rules out the
+natural shift-chain carries; the scratch round-trip costs <1 VMEM op per
+1024-cell step at UI=8.
+
 Recurrences and score results are exactly those of the reference (see
 :mod:`seqalign_tpu.ops.oracle`).
 """
@@ -48,21 +57,24 @@ ALPHA = 32  # alphabet slots
 
 DEFAULT_JB = 4  # database positions chained through registers per row sweep
 DEFAULT_IC = 128  # query rows per substitution-score chunk
+DEFAULT_UI = 8  # unrolled query rows per loop iteration
 
 
 def _kernel(
     prof_ref,  # (NC*IC, ALPHA) bf16 query profile (padded rows are zero)
-    db_ref,  # (JB, 8, 128) int32 database characters for this grid step
+    db_ref,  # (1, JB, 8, 128) int32 database characters for this grid step
     out_ref,  # (8, 128) int32 best scores
-    row_h,  # scratch (Lq, 8, 128) int32
+    row_h,  # scratch (LQP, 8, 128) int32 rolling rows
     row_e,
     row_f,
     s_buf,  # scratch (JB, IC, 8, 128) int32 substitution scores
     best_ref,  # scratch (8, 128) int32
+    state_ref,  # scratch (3*JB+1, 8, 128) int32: per-t left H/E/F + t0
     *,
-    lq: int,
+    lqp: int,
     jb: int,
     ic: int,
+    ui: int,
     nc: int,
     go: int,
     ge: int,
@@ -78,68 +90,68 @@ def _kernel(
         row_f[...] = jnp.zeros_like(row_f)
         best_ref[...] = jnp.zeros_like(best_ref)
 
-    d = db_ref[0]  # (JB, 8, 128) int32 (block has a leading 1-dim)
-
-    zero = jnp.zeros((SUBLANES, LANES), jnp.int32)
-    # Carried vector registers, all (8, 128) int32:
-    #   lh/le/lf[t]: H/E/F at (j0+t, i-1)   — the reference's *_left
-    #   dt[t]:       max(H,E,F) at (j0+t-1, i-1) — the folded diagonal input
-    #   best:        running per-lane max of H
-    carry0 = (
-        [zero] * jb,  # lh
-        [zero] * jb,  # le
-        [zero] * jb,  # lf
-        [zero] * jb,  # dt
-        best_ref[...],
-    )
+    d = db_ref[0]  # (JB, 8, 128) int32
+    # Left boundary column (i = -1) is zero for every j: H/E/F left state
+    # and the folded diagonal t0 all start the row sweep at zero.
+    state_ref[...] = jnp.zeros_like(state_ref)
 
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (ALPHA, SUBLANES, LANES), 0)
 
-    def make_body(c):
-        def body(il, carry):
-            lh, le, lf, dt, best = carry
-            lh, le, lf, dt = list(lh), list(le), list(lf), list(dt)
-            i = c * ic + il
-            up_h = row_h[i]
-            up_e = row_e[i]
-            up_f = row_f[i]
-
-            m_up = jnp.maximum(up_h, up_f)
-            # Next row's dt[0]: max3 of the stored (j0-1) row at this i.
-            t0_next = jnp.maximum(m_up, up_e)
-
-            cur_up_e = up_e
-            new_dt = [None] * jb
-            new_dt[0] = t0_next
+    def make_group_body(c):
+        def group_body(g, best):
+            base = c * ic + g * ui
+            # Restore per-t state (left H/E/F per j-block lane, plus the
+            # folded diagonal of the stored row) from scratch.
+            lh = [state_ref[3 * t + 0] for t in range(jb)]
+            le = [state_ref[3 * t + 1] for t in range(jb)]
+            lf = [state_ref[3 * t + 2] for t in range(jb)]
+            t0 = state_ref[3 * jb]
+            for u in range(ui):
+                i = base + u
+                up_h = row_h[i]
+                up_e = row_e[i]
+                up_f = row_f[i]
+                m_up = jnp.maximum(up_h, up_f)
+                t0_next = jnp.maximum(m_up, up_e)
+                cur_up_e = up_e
+                dt = t0
+                for t in range(jb):
+                    s = s_buf[t, i - c * ic]
+                    h_new = jnp.maximum(dt + s, 0)
+                    e_new = jnp.maximum(
+                        jnp.maximum(m_up + go, cur_up_e + ge), 0
+                    )
+                    f_new = jnp.maximum(
+                        jnp.maximum(
+                            jnp.maximum(lh[t], le[t]) + go, lf[t] + ge
+                        ),
+                        0,
+                    )
+                    best = jnp.maximum(best, h_new)
+                    # Diagonal for cell (j0+t+1, i) is (j0+t, i-1): max3 of
+                    # this t's left state, still unmodified at this point.
+                    if t + 1 < jb:
+                        dt = jnp.maximum(
+                            jnp.maximum(lh[t], le[t]), lf[t]
+                        )
+                    m_up = jnp.maximum(h_new, f_new)
+                    cur_up_e = e_new
+                    lh[t], le[t], lf[t] = h_new, e_new, f_new
+                t0 = t0_next
+                # Persist the last row of this j-block for the next grid step.
+                row_h[i] = lh[jb - 1]
+                row_e[i] = le[jb - 1]
+                row_f[i] = lf[jb - 1]
             for t in range(jb):
-                s = s_buf[t, il]
-                h_new = jnp.maximum(dt[t] + s, 0)
-                e_new = jnp.maximum(
-                    jnp.maximum(m_up + go, cur_up_e + ge), 0
-                )
-                f_new = jnp.maximum(
-                    jnp.maximum(
-                        jnp.maximum(lh[t], le[t]) + go, lf[t] + ge
-                    ),
-                    0,
-                )
-                best = jnp.maximum(best, h_new)
-                m_new = jnp.maximum(h_new, f_new)
-                if t + 1 < jb:
-                    new_dt[t + 1] = jnp.maximum(m_new, e_new)
-                lh[t], le[t], lf[t] = h_new, e_new, f_new
-                cur_up_e = e_new
-                m_up = m_new
+                state_ref[3 * t + 0] = lh[t]
+                state_ref[3 * t + 1] = le[t]
+                state_ref[3 * t + 2] = lf[t]
+            state_ref[3 * jb] = t0
+            return best
 
-            # Persist the last row of this j-block for the next grid step.
-            row_h[i] = lh[jb - 1]
-            row_e[i] = le[jb - 1]
-            row_f[i] = lf[jb - 1]
-            return (lh, le, lf, new_dt, best)
+        return group_body
 
-        return body
-
-    carry = carry0
+    best = best_ref[...]
     for c in range(nc):
         # Substitution scores for query rows [c*IC, c*IC+IC) x this j-block,
         # via one-hot matmul on the MXU (exact; see module docstring).
@@ -153,10 +165,10 @@ def _kernel(
                 preferred_element_type=jnp.float32,
             )  # (IC, 8, 128) f32
             s_buf[t] = s_t.astype(jnp.int32)
-        steps = min(ic, lq - c * ic)
-        carry = jax.lax.fori_loop(0, steps, make_body(c), carry)
+        groups = min(ic, lqp - c * ic) // ui
+        best = jax.lax.fori_loop(0, groups, make_group_body(c), best)
 
-    best_ref[...] = carry[4]
+    best_ref[...] = best
 
     @pl.when(j == nj - 1)
     def _emit():
@@ -165,7 +177,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("go", "ge", "jb", "ic", "interpret"),
+    static_argnames=("go", "ge", "jb", "ic", "ui", "interpret"),
 )
 def sw_pallas(
     profile: jax.Array,
@@ -175,6 +187,7 @@ def sw_pallas(
     *,
     jb: int = DEFAULT_JB,
     ic: int = DEFAULT_IC,
+    ui: int = DEFAULT_UI,
     interpret: bool = False,
 ) -> jax.Array:
     """Score one query against a 1024-lane database batch on TPU.
@@ -187,9 +200,14 @@ def sw_pallas(
       ge: gap-extend penalty, negative.
       jb: database positions chained through registers per row sweep.
       ic: query-chunk size for substitution-score precomputation.
+      ui: query rows unrolled per inner loop iteration.
 
     Returns:
       (1024,) int32 best local-alignment score per lane.
+
+    The query is internally padded to a multiple of ``ui`` with zero-score
+    rows; this cannot change any score (padded-row H values are bounded by
+    existing maxima and no real row consumes their outputs).
     """
     lq = profile.shape[0]
     lb, b = db.shape
@@ -197,7 +215,10 @@ def sw_pallas(
         raise ValueError(f"db lane batch must be {LANE_BATCH}, got {b}")
     if lb % jb != 0:
         raise ValueError(f"db length {lb} not a multiple of jb={jb}")
-    nc = -(-lq // ic)
+    if ic % ui != 0:
+        raise ValueError(f"ic={ic} must be a multiple of ui={ui}")
+    lqp = -(-lq // ui) * ui  # padded query rows actually computed
+    nc = -(-lqp // ic)
     nj = lb // jb
 
     prof = profile.astype(jnp.bfloat16)
@@ -205,7 +226,14 @@ def sw_pallas(
     db_blocks = db.astype(jnp.int32).reshape(nj, jb, SUBLANES, LANES)
 
     kernel = functools.partial(
-        _kernel, lq=lq, jb=jb, ic=ic, nc=nc, go=int(go), ge=int(ge)
+        _kernel,
+        lqp=lqp,
+        jb=jb,
+        ic=ic,
+        ui=ui,
+        nc=nc,
+        go=int(go),
+        ge=int(ge),
     )
     out = pl.pallas_call(
         kernel,
@@ -225,11 +253,12 @@ def sw_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((SUBLANES, LANES), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((lq, SUBLANES, LANES), jnp.int32),
-            pltpu.VMEM((lq, SUBLANES, LANES), jnp.int32),
-            pltpu.VMEM((lq, SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((lqp, SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((lqp, SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((lqp, SUBLANES, LANES), jnp.int32),
             pltpu.VMEM((jb, ic, SUBLANES, LANES), jnp.int32),
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((3 * jb + 1, SUBLANES, LANES), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

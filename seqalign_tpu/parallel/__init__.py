@@ -1,0 +1,14 @@
+"""Multi-chip / multi-host parallel search."""
+
+from .multihost import host_stripe, init_distributed, merge_topk_candidates
+from .sharding import make_mesh, shard_db, sharded_engine, sharded_topk
+
+__all__ = [
+    "host_stripe",
+    "init_distributed",
+    "make_mesh",
+    "merge_topk_candidates",
+    "shard_db",
+    "sharded_engine",
+    "sharded_topk",
+]

@@ -7,12 +7,17 @@ the multi-chip path). Must be set before JAX initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The env var route (JAX_PLATFORMS=cpu) is overridden by TPU plugin
+# registration in some environments; the config API wins reliably.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,90 @@
+"""Sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from seqalign_tpu.models import encode
+from seqalign_tpu.ops.swa_xla import make_profile, sw_wavefront
+from seqalign_tpu.parallel import (
+    host_stripe,
+    make_mesh,
+    merge_topk_candidates,
+    shard_db,
+    sharded_engine,
+    sharded_topk,
+)
+
+from conftest import random_protein
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return make_mesh(jax.devices()[:8])
+
+
+class TestShardedSearch:
+    def test_matches_unsharded(self, rng, blosum62, mesh8):
+        sc = blosum62
+        q = sc.query_indices(random_protein(rng, 19))
+        prof = make_profile(sc.table, q)
+        db = rng.integers(1, 27, (40, 8 * 16)).astype(np.int32)
+        go, ge = sc.gap_open_total, sc.gap_extend
+        run = sharded_engine(sw_wavefront, mesh8, go, ge)
+        got = np.asarray(run(prof, shard_db(db, mesh8)))
+        want = np.asarray(sw_wavefront(prof, db, go, ge))
+        np.testing.assert_array_equal(got, want)
+
+    def test_topk_merge(self, rng, blosum62, mesh8):
+        sc = blosum62
+        q = sc.query_indices(random_protein(rng, 17))
+        prof = make_profile(sc.table, q)
+        db = rng.integers(1, 27, (32, 8 * 8)).astype(np.int32)
+        go, ge = sc.gap_open_total, sc.gap_extend
+        topk = sharded_topk(sw_wavefront, mesh8, go, ge, k=5)
+        vals, idx = topk(prof, shard_db(db, mesh8))
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        want = np.asarray(sw_wavefront(prof, db, go, ge))
+        want_vals = np.sort(want)[::-1][:5]
+        np.testing.assert_array_equal(np.sort(vals)[::-1], want_vals)
+        # indices point at lanes with those scores
+        np.testing.assert_array_equal(np.sort(want[idx])[::-1], want_vals)
+
+
+class TestMultihostLogic:
+    def test_host_stripe(self):
+        recs = list(range(10))
+        stripes = [list(host_stripe(recs, p, 3)) for p in range(3)]
+        assert stripes == [[0, 3, 6, 9], [1, 4, 7], [2, 5, 8]]
+        assert sorted(sum(stripes, [])) == recs
+
+    def test_merge_topk(self):
+        s0 = np.array([10, 5, 3])
+        i0 = np.array([0, 3, 6])
+        s1 = np.array([8, 7, 1])
+        i1 = np.array([1, 4, 7])
+        vals, ids = merge_topk_candidates(s0, i0, 4, [(s1, i1)])
+        assert vals.tolist() == [10, 8, 7, 5]
+        assert ids.tolist() == [0, 1, 4, 3]
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert np.asarray(out).shape[0] == args[1].shape[1]
+
+    def test_dryrun_multichip(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)

@@ -1,0 +1,318 @@
+"""Tests for FASTA IO, packing, pipeline search, and the CLI."""
+
+import gzip
+import io
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from seqalign_tpu.models import (
+    PAD_INDEX,
+    ScoringModel,
+    encode,
+    load_builtin,
+    sw_default_scoring,
+    write_matrix_file,
+)
+from seqalign_tpu.ops.oracle import sw_score_batch
+from seqalign_tpu.pipeline import search, search_encoded
+from seqalign_tpu.utils.fasta import SeqRecord, read_fasta, read_first
+from seqalign_tpu.utils.packing import lattice_round_up, pack_encoded
+
+from conftest import random_protein
+
+
+class TestFasta:
+    def test_basic_fasta(self, tmp_path):
+        p = tmp_path / "a.fa"
+        p.write_text(">seq1 desc\nACDEF\nGHIKL\n>seq2\nMNPQR\n")
+        recs = list(read_fasta(str(p)))
+        assert [r.name for r in recs] == ["seq1 desc", "seq2"]
+        assert [r.seq for r in recs] == ["ACDEFGHIKL", "MNPQR"]
+
+    def test_gzip_fasta(self, tmp_path):
+        p = tmp_path / "a.fa.gz"
+        p.write_bytes(gzip.compress(b">s1\nACDEF\n>s2\nKLM\n"))
+        recs = list(read_fasta(str(p)))
+        assert [r.seq for r in recs] == ["ACDEF", "KLM"]
+
+    def test_fastq(self, tmp_path):
+        p = tmp_path / "a.fq"
+        p.write_text("@r1\nACGT\n+\n!!!!\n@r2\nGGCC\n+\n####\n")
+        recs = list(read_fasta(str(p)))
+        assert [(r.name, r.seq) for r in recs] == [("r1", "ACGT"), ("r2", "GGCC")]
+
+    def test_blank_lines_and_crlf(self, tmp_path):
+        p = tmp_path / "a.fa"
+        p.write_bytes(b"\n>s1\r\nAC\r\nDE\n\n>s2\nKL\n")
+        recs = list(read_fasta(str(p)))
+        assert [r.seq for r in recs] == ["ACDE", "KL"]
+
+    def test_read_first_empty(self, tmp_path):
+        p = tmp_path / "e.fa"
+        p.write_text("")
+        with pytest.raises(ValueError):
+            read_first(str(p))
+
+
+class TestPacking:
+    def test_lattice_monotone_multiple_of_8(self):
+        prev = 0
+        for nint in [1, 7, 8, 9, 63, 64, 65, 100, 1000, 35000]:
+            v = lattice_round_up(nint)
+            assert v >= nint and v % 8 == 0
+        vals = [lattice_round_up(nn) for nn in range(1, 5000)]
+        assert vals == sorted(vals)
+
+    def test_pack_sorts_and_pads(self, rng):
+        encoded = [encode(random_protein(rng, n)) for n in (5, 50, 20, 3)]
+        batches = list(pack_encoded(encoded, lanes=2))
+        assert len(batches) == 2
+        # Descending length: first batch holds the 50 and 20 seqs.
+        assert batches[0].record_ids.tolist() == [1, 2]
+        assert batches[0].db.shape[0] == lattice_round_up(50)
+        assert batches[1].record_ids.tolist() == [0, 3]
+        # padding is '*'
+        assert (batches[1].db[5:, 0] == PAD_INDEX).all()
+
+    def test_pack_partial_batch(self, rng):
+        encoded = [encode(random_protein(rng, 9))] * 3
+        (batch,) = pack_encoded(encoded, lanes=8)
+        assert batch.n_valid == 3
+        assert (batch.db[:, 3:] == PAD_INDEX).all()
+
+
+class TestSearch:
+    def test_search_matches_oracle(self, rng, blosum62):
+        sc = blosum62
+        q = SeqRecord("q", random_protein(rng, 21))
+        recs = [
+            SeqRecord(f"s{k}", random_protein(rng, int(rng.integers(3, 60))))
+            for k in range(37)
+        ]
+        res = search(q, recs, sc, engine="wavefront", lanes=16)
+        q_idx = sc.query_indices(q.seq)
+        want = sw_score_batch(
+            q_idx,
+            [encode(r.seq) for r in recs],
+            sc.table,
+            sc.gap_open,
+            sc.gap_extend,
+        )
+        np.testing.assert_array_equal(res.scores, want)
+        assert res.total_entries == 37
+        assert res.kernel_time > 0
+
+    def test_search_unsorted_equals_sorted(self, rng, pam250):
+        q = SeqRecord("q", random_protein(rng, 15))
+        recs = [
+            SeqRecord(f"s{k}", random_protein(rng, n))
+            for k, n in enumerate([40, 40, 40, 40, 12, 12, 12, 12])
+        ]
+        a = search(q, recs, pam250, engine="wavefront", lanes=4, sort=True)
+        b = search(q, recs, pam250, engine="wavefront", lanes=4, sort=False)
+        np.testing.assert_array_equal(a.scores, b.scores)
+
+    def test_oracle_engine(self, rng, blosum62):
+        q_idx = blosum62.query_indices(random_protein(rng, 9))
+        encoded = [encode(random_protein(rng, 12)) for _ in range(5)]
+        s1, _ = search_encoded(q_idx, encoded, blosum62, engine="oracle")
+        s2, _ = search_encoded(
+            q_idx, encoded, blosum62, engine="scan", lanes=8
+        )
+        np.testing.assert_array_equal(s1, s2)
+
+
+def run_cli(args, tmp_path):
+    """Run the CLI in-process, capturing stdout/stderr."""
+    from seqalign_tpu import cli
+
+    out, err = io.StringIO(), io.StringIO()
+    old = sys.stdout, sys.stderr
+    sys.stdout, sys.stderr = out, err
+    try:
+        code = cli.main(["smith_waterman"] + args)
+    finally:
+        sys.stdout, sys.stderr = old
+    return code, out.getvalue(), err.getvalue()
+
+
+@pytest.fixture
+def fasta_pair(tmp_path, rng):
+    q = tmp_path / "query.fa"
+    q.write_text(">query1\nMKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ\n")
+    db = tmp_path / "db.fa"
+    lines = []
+    for k in range(10):
+        lines.append(f">entry{k}")
+        lines.append(random_protein(rng, int(rng.integers(8, 70))))
+    db.write_text("\n".join(lines) + "\n")
+    return str(q), str(db)
+
+
+class TestCli:
+    def test_output_format(self, fasta_pair, tmp_path):
+        qp, dp = fasta_pair
+        code, out, err = run_cli(
+            ["--files", qp, dp, "--engine", "wavefront", "--lanes", "8"],
+            tmp_path,
+        )
+        assert code == 0
+        assert out.startswith(f"Query File={qp} and Database File={dp}\n")
+        # Parse like the reference harnesses do.
+        import re
+
+        entries = re.findall(r"Entry #(\d+):\s*\nscore: (-?\d+)", out)
+        assert len(entries) == 10
+        assert [int(e[0]) for e in entries] == list(range(10))
+        assert re.search(r"Total Time: \d+\.\d+\n", out)
+        assert re.search(r"Total Entries: 10\n", out)
+
+    def test_scores_match_oracle(self, fasta_pair, tmp_path, blosum62):
+        import re
+
+        qp, dp = fasta_pair
+        b62 = tmp_path / "b62.txt"
+        write_matrix_file(str(b62), "BLOSUM62")
+        code, out, _ = run_cli(
+            [
+                "--files",
+                qp,
+                dp,
+                "--substitution_matrix",
+                str(b62),
+                "--engine",
+                "wavefront",
+                "--lanes",
+                "8",
+            ],
+            tmp_path,
+        )
+        assert code == 0
+        got = {
+            int(m[0]): int(m[1])
+            for m in re.findall(r"Entry #(\d+):\s*\nscore: (-?\d+)", out)
+        }
+        sc = load_builtin(
+            "BLOSUM62",
+            ScoringModel(gap_open=-2, gap_extend=-1, use_match_mismatch=False),
+        )
+        q = read_first(qp)
+        q_idx = sc.query_indices(q.seq)
+        recs = list(read_fasta(dp))
+        want = sw_score_batch(
+            q_idx,
+            [encode(r.seq) for r in recs],
+            sc.table,
+            sc.gap_open,
+            sc.gap_extend,
+        )
+        for k in range(len(recs)):
+            assert got[k] == want[k], k
+
+    def test_builtin_matrix_name(self, fasta_pair, tmp_path):
+        qp, dp = fasta_pair
+        code, out, _ = run_cli(
+            [
+                "--files",
+                qp,
+                dp,
+                "--substitution_matrix",
+                "PAM250",
+                "--engine",
+                "scan",
+                "--lanes",
+                "8",
+            ],
+            tmp_path,
+        )
+        assert code == 0
+        assert "score:" in out
+
+    def test_printfasta_printseq(self, fasta_pair, tmp_path):
+        qp, dp = fasta_pair
+        code, out, _ = run_cli(
+            [
+                "--files",
+                qp,
+                dp,
+                "--printfasta",
+                "--printseq",
+                "--engine",
+                "wavefront",
+                "--lanes",
+                "8",
+            ],
+            tmp_path,
+        )
+        assert code == 0
+        assert "query1" in out
+        assert "entry0" in out
+
+    def test_json_and_topk(self, fasta_pair, tmp_path):
+        qp, dp = fasta_pair
+        code, out, _ = run_cli(
+            [
+                "--files",
+                qp,
+                dp,
+                "--json",
+                "--topk",
+                "3",
+                "--engine",
+                "wavefront",
+                "--lanes",
+                "8",
+            ],
+            tmp_path,
+        )
+        assert code == 0
+        payload = json.loads(out.splitlines()[-1])
+        assert len(payload["entries"]) == 3
+        scores = [e["score"] for e in payload["entries"]]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_usage_errors(self, tmp_path):
+        code, _, err = run_cli([], tmp_path)
+        assert code == 1 and "usage:" in err
+        code, _, err = run_cli(["--bogus"], tmp_path)
+        assert code == 1 and "Unknown argument" in err
+        code, _, err = run_cli(["--match", "x", "--stdin"], tmp_path)
+        assert code == 1 and "Invalid --match" in err
+        code, _, err = run_cli(["--files", "only-one"], tmp_path)
+        assert code == 1
+        # match < mismatch in match/mismatch mode
+        code, _, err = run_cli(
+            ["--match", "-5", "--mismatch", "1", "--stdin"], tmp_path
+        )
+        assert code == 1 and "Match value" in err
+
+    def test_match_ge_mismatch_ok_with_matrix(self, fasta_pair, tmp_path):
+        # With a matrix loaded and no --match, the match/mismatch check is
+        # bypassed (use_match_mismatch = 0), like the reference.
+        qp, dp = fasta_pair
+        code, out, _ = run_cli(
+            [
+                "--files",
+                qp,
+                dp,
+                "--substitution_matrix",
+                "BLOSUM62",
+                "--engine",
+                "wavefront",
+                "--lanes",
+                "8",
+            ],
+            tmp_path,
+        )
+        assert code == 0
+
+    def test_missing_matrix_file(self, tmp_path):
+        code, _, err = run_cli(
+            ["--substitution_matrix", "/nonexistent/m.txt", "--stdin"],
+            tmp_path,
+        )
+        assert code == 1 and "Couldn't read" in err
