@@ -236,7 +236,10 @@ def main(argv: list[str] | None = None) -> int:
     from .pipeline import search_files
 
     try:
-        result = search_files(file1, file2, scoring, engine=engine, lanes=lanes)
+        result = search_files(
+            file1, file2, scoring, engine=engine, lanes=lanes,
+            keep_seqs=print_seq,
+        )
     except ValueError as e:
         sys.stderr.write(str(e) + "\n")
         return 0  # reference prints the error and exits successfully

@@ -14,7 +14,9 @@ Differences from the reference (all strictly-better, score-identical):
   order;
 - partial final batches are padded with all-'*' lanes and masked out (the
   reference reads uninitialized memory for them, SURVEY.md §7.1-7.2);
-- scores are int32 (no 16-bit wraparound, SURVEY.md §7.4).
+- scores are int32 (no 16-bit wraparound, SURVEY.md §7.4);
+- parsing/encoding/packing run in native C++ when built (utils/native_io),
+  the analog of the reference's C seq_file layer.
 """
 
 from __future__ import annotations
@@ -25,10 +27,11 @@ from typing import Callable, Iterable, Sequence
 
 import numpy as np
 
-from .models.alphabet import encode
+from .models.alphabet import decode, encode
 from .models.scoring import ScoringModel
 from .utils.fasta import SeqRecord, read_fasta, read_first
-from .utils.packing import PackedBatch, pack_encoded
+from .utils.native_io import EncodedDatabase, pack_batch, parse_file
+from .utils.packing import lattice_round_up
 
 
 @dataclasses.dataclass
@@ -38,7 +41,7 @@ class SearchResult:
     query_name: str
     query_seq: str
     names: list[str]
-    seqs: list[str]
+    seqs: list[str] | None
     scores: np.ndarray  # (N,) int32
     kernel_time: float  # seconds spent in engine dispatch+execution
     total_entries: int
@@ -67,30 +70,20 @@ def get_engine(name: str) -> Callable:
         from .ops.swa_xla import sw_scan
 
         return sw_scan
-    if name == "oracle":
-        from .models.alphabet import PAD_INDEX  # noqa: F401
-        from .ops import oracle
-
-        def _oracle_engine(profile, db, go, ge, _o=oracle):
-            raise RuntimeError(
-                "oracle engine is driven via search(..., engine='oracle')"
-            )
-
-        return _oracle_engine
     raise KeyError(f"unknown engine {name!r}")
 
 
-def search_encoded(
+def search_database(
     query_idx: np.ndarray,
-    encoded_db: Sequence[np.ndarray],
+    db: EncodedDatabase,
     scoring: ScoringModel,
     engine: str | None = None,
     lanes: int | None = None,
     sort: bool = True,
 ) -> tuple[np.ndarray, float]:
-    """Score an encoded query against encoded database sequences.
+    """Score an encoded query against an EncodedDatabase.
 
-    Returns (scores in input order (N,) int32, kernel seconds).
+    Returns (scores in database stream order (N,) int32, kernel seconds).
     """
     import jax
 
@@ -100,7 +93,7 @@ def search_encoded(
     if lanes is not None:
         eng_lanes = lanes
 
-    n = len(encoded_db)
+    n = db.n
     scores = np.zeros(n, dtype=np.int32)
     if n == 0 or len(query_idx) == 0:
         return scores, 0.0
@@ -110,7 +103,10 @@ def search_encoded(
 
         t0 = time.perf_counter()
         scores = sw_score_batch(
-            query_idx, encoded_db, scoring.table, scoring.gap_open,
+            query_idx,
+            [db.record(i) for i in range(n)],
+            scoring.table,
+            scoring.gap_open,
             scoring.gap_extend,
         ).astype(np.int32)
         return scores, time.perf_counter() - t0
@@ -121,24 +117,82 @@ def search_encoded(
     go, ge = scoring.gap_open_total, scoring.gap_extend
     engine_fn = get_engine(eng_name)
 
-    batches = list(pack_encoded(encoded_db, eng_lanes, sort=sort))
-    # Host->device transfers happen outside the timed region (the reference
-    # likewise excludes packing/IO from its kernel timer); the timed region
-    # then measures engine dispatch + device execution only.
+    lengths = db.lengths
+    order = (
+        np.argsort(-lengths, kind="stable") if sort else np.arange(n)
+    )
+
+    # Pack lane groups (native packer when built) and push to device before
+    # the timed region; the reference likewise excludes packing/IO from its
+    # kernel timer.
+    groups: list[np.ndarray] = []
+    dev_dbs = []
+    for start in range(0, n, eng_lanes):
+        ids = order[start : start + eng_lanes]
+        lb_pad = lattice_round_up(int(lengths[ids].max(initial=1)))
+        batch = pack_batch(db, ids, eng_lanes, lb_pad)
+        groups.append(ids)
+        dev_dbs.append(jax.device_put(batch.astype(np.int32)))
     prof_dev = jax.device_put(profile)
-    dev_dbs = [jax.device_put(b.db.astype(np.int32)) for b in batches]
     jax.block_until_ready(dev_dbs)
+
     t0 = time.perf_counter()
-    outs = []
-    for db_dev in dev_dbs:
-        outs.append(engine_fn(prof_dev, db_dev, go, ge))
+    outs = [engine_fn(prof_dev, d, go, ge) for d in dev_dbs]
     jax.block_until_ready(outs)
     kernel_time = time.perf_counter() - t0
 
-    for batch, out in zip(batches, outs):
-        vals = np.asarray(out)[: batch.n_valid]
-        scores[batch.record_ids] = vals
+    for ids, out in zip(groups, outs):
+        scores[ids] = np.asarray(out)[: len(ids)]
     return scores, kernel_time
+
+
+def _db_from_encoded(encoded: Sequence[np.ndarray], names=None) -> EncodedDatabase:
+    offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
+    total = 0
+    for i, e in enumerate(encoded):
+        total += len(e)
+        offsets[i + 1] = total
+    seq = (
+        np.concatenate([np.asarray(e, dtype=np.int8) for e in encoded])
+        if encoded
+        else np.zeros(0, dtype=np.int8)
+    )
+    return EncodedDatabase(
+        seq=seq,
+        offsets=offsets,
+        names=list(names) if names else [""] * len(encoded),
+    )
+
+
+def search_encoded(
+    query_idx: np.ndarray,
+    encoded_db: Sequence[np.ndarray],
+    scoring: ScoringModel,
+    engine: str | None = None,
+    lanes: int | None = None,
+    sort: bool = True,
+) -> tuple[np.ndarray, float]:
+    """Score an encoded query against a list of encoded sequences."""
+    return search_database(
+        query_idx,
+        _db_from_encoded(encoded_db),
+        scoring,
+        engine=engine,
+        lanes=lanes,
+        sort=sort,
+    )
+
+
+def _warn_padding(scoring: ScoringModel, query_idx: np.ndarray) -> None:
+    if not scoring.padding_safe_for_query(query_idx):
+        import sys
+
+        print(
+            "Warning: query contains characters with positive '*' scores; "
+            "padded batches may not be score-invariant (same limitation as "
+            "the reference engine).",
+            file=sys.stderr,
+        )
 
 
 def search(
@@ -149,22 +203,14 @@ def search(
     lanes: int | None = None,
     sort: bool = True,
 ) -> SearchResult:
-    """Full search: encode, pack, score. Records are kept for output."""
+    """Search from in-memory records (records kept for output)."""
     query_idx = scoring.query_indices(query.seq)
     names, seqs, encoded = [], [], []
     for rec in db_records:
         names.append(rec.name)
         seqs.append(rec.seq)
         encoded.append(encode(rec.seq))
-    if not scoring.padding_safe_for_query(query_idx):
-        import sys
-
-        print(
-            "Warning: query contains characters with positive '*' scores; "
-            "padded batches may not be score-invariant (same limitation as "
-            "the reference engine).",
-            file=sys.stderr,
-        )
+    _warn_padding(scoring, query_idx)
     scores, kernel_time = search_encoded(
         query_idx, encoded, scoring, engine=engine, lanes=lanes, sort=sort
     )
@@ -185,7 +231,30 @@ def search_files(
     scoring: ScoringModel,
     engine: str | None = None,
     lanes: int | None = None,
+    keep_seqs: bool = False,
 ) -> SearchResult:
-    """Search a query FASTA (first record) against a database FASTA."""
+    """Search a query FASTA (first record) against a database FASTA.
+
+    Uses the native parser when built. ``keep_seqs`` retains the original
+    sequence strings (needed for ``--printseq``) via the Python reader.
+    """
     query = read_first(query_path)
-    return search(query, read_fasta(db_path), scoring, engine=engine, lanes=lanes)
+    query_idx = scoring.query_indices(query.seq)
+    _warn_padding(scoring, query_idx)
+    if keep_seqs:
+        return search(
+            query, read_fasta(db_path), scoring, engine=engine, lanes=lanes
+        )
+    db = parse_file(db_path)
+    scores, kernel_time = search_database(
+        query_idx, db, scoring, engine=engine, lanes=lanes
+    )
+    return SearchResult(
+        query_name=query.name,
+        query_seq=query.seq,
+        names=db.names,
+        seqs=None,
+        scores=scores,
+        kernel_time=kernel_time,
+        total_entries=db.n,
+    )

@@ -1,0 +1,166 @@
+"""ctypes bindings for the native fastio library (see native/fastio.cc).
+
+Provides fast parse+encode of FASTA/FASTQ files and native lane-batch
+packing. Falls back transparently to the pure-Python implementations when
+the shared library has not been built (``make -C native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "_fastio.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.fastio_parse.restype = ctypes.c_void_p
+    lib.fastio_parse.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.fastio_fetch.restype = None
+    lib.fastio_fetch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
+    lib.fastio_free.restype = None
+    lib.fastio_free.argtypes = [ctypes.c_void_p]
+    lib.fastio_pack.restype = None
+    lib.fastio_pack.argtypes = [ctypes.c_void_p] * 3 + [
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+@dataclass
+class EncodedDatabase:
+    """A fully parsed+encoded database in flat-buffer form.
+
+    ``seq`` holds every record's alphabet indices concatenated;
+    record ``i`` spans ``seq[offsets[i]:offsets[i+1]]``.
+    """
+
+    seq: np.ndarray  # (total_residues,) int8
+    offsets: np.ndarray  # (n+1,) int64
+    names: list[str]
+
+    @property
+    def n(self) -> int:
+        return len(self.offsets) - 1
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    def record(self, i: int) -> np.ndarray:
+        return self.seq[self.offsets[i] : self.offsets[i + 1]]
+
+
+def parse_file(path: str) -> EncodedDatabase:
+    """Parse+encode a FASTA/FASTQ file (gzip ok), native if available."""
+    lib = _load()
+    if lib is None:
+        return _parse_file_python(path)
+    n = ctypes.c_int64()
+    residues = ctypes.c_int64()
+    names_bytes = ctypes.c_int64()
+    err = ctypes.c_int()
+    handle = lib.fastio_parse(
+        path.encode(), ctypes.byref(n), ctypes.byref(residues),
+        ctypes.byref(names_bytes), ctypes.byref(err),
+    )
+    if not handle:
+        if err.value == -1:
+            raise OSError(f"couldn't read {path}")
+        if err.value == -2:
+            from ..models.alphabet import AlphabetError
+
+            raise AlphabetError(
+                f"illegal character for the substitution matrix in {path}"
+            )
+        raise ValueError(f"unrecognized sequence file format: {path}")
+    try:
+        seq = np.empty(residues.value, dtype=np.int8)
+        offsets = np.empty(n.value + 1, dtype=np.int64)
+        names_buf = ctypes.create_string_buffer(max(names_bytes.value, 1))
+        lib.fastio_fetch(
+            handle,
+            seq.ctypes.data_as(ctypes.c_void_p),
+            offsets.ctypes.data_as(ctypes.c_void_p),
+            names_buf,
+        )
+    finally:
+        lib.fastio_free(handle)
+    raw_names = names_buf.raw[: names_bytes.value].decode(
+        "ascii", errors="replace"
+    )
+    names = raw_names.split("\n")[:-1] if raw_names else []
+    return EncodedDatabase(seq=seq, offsets=offsets, names=names)
+
+
+def _parse_file_python(path: str) -> EncodedDatabase:
+    from ..models.alphabet import encode
+    from .fasta import read_fasta
+
+    seqs, names, offsets = [], [], [0]
+    total = 0
+    for rec in read_fasta(path):
+        e = encode(rec.seq)
+        seqs.append(e)
+        names.append(rec.name)
+        total += len(e)
+        offsets.append(total)
+    seq = (
+        np.concatenate(seqs).astype(np.int8)
+        if seqs
+        else np.zeros(0, dtype=np.int8)
+    )
+    return EncodedDatabase(
+        seq=seq, offsets=np.asarray(offsets, dtype=np.int64), names=names
+    )
+
+
+def pack_batch(
+    db: EncodedDatabase, order: np.ndarray, lanes: int, lb_pad: int
+) -> np.ndarray:
+    """Pack the records selected by ``order`` into a (lb_pad, lanes) batch."""
+    out = np.empty((lb_pad, lanes), dtype=np.int8)
+    lib = _load()
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    if lib is None:
+        from ..models.alphabet import PAD_INDEX
+
+        out[:] = PAD_INDEX
+        for lane, rec in enumerate(order):
+            r = db.record(int(rec))
+            out[: len(r), lane] = r
+        return out
+    lib.fastio_pack(
+        db.seq.ctypes.data_as(ctypes.c_void_p),
+        db.offsets.ctypes.data_as(ctypes.c_void_p),
+        order.ctypes.data_as(ctypes.c_void_p),
+        len(order),
+        lanes,
+        lb_pad,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out

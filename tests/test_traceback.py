@@ -1,0 +1,107 @@
+"""Traceback tests: score consistency with the oracle, valid alignments."""
+
+import numpy as np
+import pytest
+
+from seqalign_tpu.models import ScoringModel, encode, sw_default_scoring
+from seqalign_tpu.ops.oracle import sw_score_single
+from seqalign_tpu.ops.traceback import sw_traceback, topk_alignments
+
+from conftest import random_protein
+
+
+def check_alignment_consistent(aln, q, d, table, gap_open, gap_extend):
+    """Re-score the reported alignment path and verify invariants."""
+    assert len(aln.query_aligned) == len(aln.db_aligned)
+    go = gap_open + gap_extend
+    ge = gap_extend
+    score = 0
+    qi, di = aln.query_start, aln.db_start
+    prev = None
+    for qc, dc in zip(aln.query_aligned, aln.db_aligned):
+        assert not (qc == "-" and dc == "-")
+        if qc == "-":
+            score += go if prev != "D" else ge
+            di += 1
+            prev = "D"
+        elif dc == "-":
+            score += go if prev != "I" else ge
+            qi += 1
+            prev = "I"
+        else:
+            score += int(table[q[qi], d[di]])
+            qi += 1
+            di += 1
+            prev = "M"
+    assert qi == aln.query_end and di == aln.db_end
+    # The path's raw score can exceed aln.score only if the zero-floor was
+    # used mid-path; for the optimal path it must equal the DP score.
+    assert score == aln.score, (score, aln.score)
+
+
+class TestTraceback:
+    def test_exact_match(self):
+        sc = sw_default_scoring()
+        q = encode("MKTAYI")
+        aln = sw_traceback(q, q, sc.table, sc.gap_open, sc.gap_extend)
+        assert aln.score == 12
+        assert aln.cigar == "6M"
+        assert aln.query_aligned == "MKTAYI"
+        assert aln.db_aligned == "MKTAYI"
+
+    def test_with_gap(self):
+        sc = sw_default_scoring()
+        q, d = encode("AAGGAA"), encode("AAAA")
+        aln = sw_traceback(q, d, sc.table, sc.gap_open, sc.gap_extend)
+        # Two co-optimal paths exist (AA--AA with a 2-gap, or plain AA):
+        # both score 4; any optimal, self-consistent path is acceptable.
+        assert aln.score == 4
+        check_alignment_consistent(
+            aln, q, d, sc.table, sc.gap_open, sc.gap_extend
+        )
+
+    @pytest.mark.parametrize("trial", range(12))
+    def test_score_matches_oracle_random(self, rng, blosum62, trial):
+        sc = blosum62
+        lq = int(rng.integers(2, 40))
+        lb = int(rng.integers(2, 60))
+        q = encode(random_protein(rng, lq))
+        d = encode(random_protein(rng, lb))
+        want = sw_score_single(q, d, sc.table, sc.gap_open, sc.gap_extend)
+        aln = sw_traceback(q, d, sc.table, sc.gap_open, sc.gap_extend)
+        assert aln.score == want
+        if want > 0:
+            check_alignment_consistent(
+                aln, q, d, sc.table, sc.gap_open, sc.gap_extend
+            )
+
+    def test_zero_score(self):
+        sc = sw_default_scoring()
+        aln = sw_traceback(
+            encode("AAAA"), encode("TTTT"), sc.table, sc.gap_open, sc.gap_extend
+        )
+        assert aln.score == 0
+        assert aln.cigar == ""
+
+    def test_topk(self, rng, blosum62):
+        from seqalign_tpu.pipeline import _db_from_encoded
+
+        sc = blosum62
+        q = encode(random_protein(rng, 20))
+        encoded = [encode(random_protein(rng, 30)) for _ in range(12)]
+        encoded[5] = q.copy()  # plant an exact match
+        db = _db_from_encoded(encoded)
+        scores = np.array(
+            [
+                sw_score_single(q, e, sc.table, sc.gap_open, sc.gap_extend)
+                for e in encoded
+            ]
+        )
+        hits = topk_alignments(
+            q, db, scores, 3, sc.table, sc.gap_open, sc.gap_extend
+        )
+        assert hits[0][0] == 5
+        assert hits[0][1].score == scores[5]
+        assert [h[1].score for h in hits] == sorted(
+            scores, reverse=True
+        )[:3]
