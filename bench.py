@@ -56,17 +56,19 @@ def main() -> None:
     if backend == "tpu":
         from seqalign_tpu.ops.swa_pallas import sw_pallas_multi as engine
 
-        lanes = 4096
+        nw, win = 2, 1024
     else:
         from seqalign_tpu.ops.swa_xla import sw_wavefront as engine
 
-        lanes = 1024
+        nw, win = 1, 1024
+    lanes = nw * win
 
     n = N_ENTRIES if backend == "tpu" else 20_000
     lengths = np.sort(synth_db(rng, n))[::-1]
 
     # Build padded lane-batches directly from lengths (content is random;
-    # scores are computed over every real residue, padding is '*').
+    # scores are computed over every real residue, padding is '*'). TPU
+    # batches are window-stacked (NW, Lb, 1024), the production layout.
     batches = []
     total_residues = int(lengths.sum())
     for start in range(0, n, lanes):
@@ -75,6 +77,10 @@ def main() -> None:
         db = np.full((lb, lanes), PAD_INDEX, dtype=np.int8)
         for lane, L in enumerate(group):
             db[: int(L), lane] = rng.integers(1, 27, int(L), dtype=np.int8)
+        if nw > 1:
+            db = np.ascontiguousarray(
+                db.reshape(lb, nw, win).transpose(1, 0, 2)
+            )
         batches.append(db)
 
     dev_batches = [jax.device_put(b.astype(np.int32)) for b in batches]

@@ -115,7 +115,6 @@ def search_database(
 
     profile = make_profile(scoring.table, query_idx)
     go, ge = scoring.gap_open_total, scoring.gap_extend
-    engine_fn = get_engine(eng_name)
 
     lengths = db.lengths
     order = (
@@ -124,13 +123,48 @@ def search_database(
 
     # Pack lane groups (native packer when built) and push to device before
     # the timed region; the reference likewise excludes packing/IO from its
-    # kernel timer.
+    # kernel timer. The pallas engine takes window-stacked (NW, Lb, 1024)
+    # batches (window-major lane order == linear id order), so no device-side
+    # transpose is ever needed.
+    if eng_name == "pallas":
+        from .ops.swa_pallas import (
+            MAX_QUERY_ROWS,
+            WINDOW_LANES,
+            choose_windows,
+        )
+
+        if len(query_idx) > MAX_QUERY_ROWS:
+            # Too long for a single VMEM-resident row set: XLA engine.
+            eng_name = "wavefront"
+            nw, win = 1, 1024
+        else:
+            win = WINDOW_LANES
+            nw = (
+                max(1, eng_lanes // win)
+                if lanes is not None
+                else choose_windows(len(query_idx))
+            )
+    else:
+        nw, win = 1, eng_lanes
+    engine_fn = get_engine(eng_name)
+
     groups: list[np.ndarray] = []
     dev_dbs = []
-    for start in range(0, n, eng_lanes):
-        ids = order[start : start + eng_lanes]
+    for start in range(0, n, nw * win):
+        ids = order[start : start + nw * win]
         lb_pad = lattice_round_up(int(lengths[ids].max(initial=1)))
-        batch = pack_batch(db, ids, eng_lanes, lb_pad)
+        if eng_name == "pallas":
+            nw_g = max(1, -(-len(ids) // win))
+            if nw_g not in (1, nw):
+                nw_g = nw  # keep compiled shapes on the {1, NW} lattice
+            batch = np.stack(
+                [
+                    pack_batch(db, ids[w * win : (w + 1) * win], win, lb_pad)
+                    for w in range(nw_g)
+                ]
+            )
+        else:
+            batch = pack_batch(db, ids, win, lb_pad)
         groups.append(ids)
         dev_dbs.append(jax.device_put(batch.astype(np.int32)))
     prof_dev = jax.device_put(profile)
