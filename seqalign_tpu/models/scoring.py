@@ -106,13 +106,17 @@ class ScoringModel:
         """True if '*'-padding can never increase this query's scores.
 
         Padding lanes/tails with '*' is score-invariant iff ``table[q, '*']``
-        is <= 0 for every character ``q`` appearing in the query. Standard
-        matrices use the minimum score in the '*' column *except* for the
-        ('*','*') cell (+1), so this holds unless the query itself contains
-        '*'. The pipeline checks this before relying on free padding (the
-        reference pads the same way and would be equally pad-sensitive for
-        '*'-bearing queries — SURVEY.md §7.3 envelope).
+        is <= 0 for every character ``q`` appearing in the query AND both gap
+        penalties are <= 0 (positive gap scores let an alignment extend into
+        the padding region for profit). Standard matrices use the minimum
+        score in the '*' column *except* for the ('*','*') cell (+1), so
+        this holds unless the query itself contains '*'. The pipeline checks
+        this before relying on free padding (the reference pads the same way
+        and would be equally pad-sensitive for '*'-bearing queries or
+        positive gap scores — SURVEY.md §7.3 envelope).
         """
+        if self.gap_open_total > 0 or self.gap_extend > 0:
+            return False
         q = np.unique(np.asarray(query_idx))
         return bool((self.table[q, PAD_INDEX] <= 0).all())
 

@@ -7,16 +7,15 @@ but sized and laid out for the TPU vector unit and memory system:
 
 - **Lane batching**: each "window" holds ``SL x 128`` database sequences
   (1024 at SL=8), shaped so every elementwise op is a whole number of native
-  int32 vector registers (the reference uses 16 int16 AVX2 lanes).
+  vector registers (the reference uses 16 int16 AVX2 lanes).
 - **Window interleaving (NW)**: several independent windows are advanced in
   lockstep inside the inner loop. The DP recurrence is a serial dependency
-  chain (~3-cycle ALU latency per link); interleaving independent chains is
-  what fills the VPU pipeline. Measured on v5e: NW=2 doubles throughput over
-  NW=1.
-- **Rolling rows in VMEM**: one row each of H/E/F over the query dimension
-  (linear space, like the reference's single-row buffers,
-  ``src/alignment.c:227-230``) lives in VMEM scratch and persists across the
-  sequential grid dimension (database position blocks).
+  chain; interleaving independent chains is what fills the VPU pipeline.
+  Measured on v5e (dependent max/add chains): 1 chain sustains ~0.8 Tops/s,
+  8 chains ~4.2 Tops/s — window count is the single biggest throughput lever.
+- **Rolling rows in VMEM**: linear-space DP like the reference's single-row
+  buffers (``src/alignment.c:227-230``), persisted across the sequential
+  grid dimension (database-position blocks).
 - **j-blocking (JB)**: consecutive database positions are chained through
   vector registers per sweep over the query, dividing VMEM row traffic by
   ``JB`` — the TPU analog of the reference's register-carried ``*_left`` /
@@ -24,16 +23,45 @@ but sized and laid out for the TPU vector unit and memory system:
 - **MXU substitution lookup**: the reference's scalar L1-table gather
   (``scoring_lookup``, ``src/alignment.c:31-44``) becomes a query-profile x
   one-hot(db chars) matmul on the MXU, exact in bf16xbf16->f32 because every
-  output is one product of a 0/1 weight with an int8-range score.
-- **int32 scores**: as wide as the TPU vector lanes, subsuming the
-  reference's int16 wraparound (SURVEY.md §7.4) and the overflow-rescan the
-  BASELINE north star asks for: int32 cannot overflow for real sequences
-  (|score| <= 127 * len).
-- **No E/F zero-floors**: the reference clamps all three matrices at zero
-  (``src/alignment.c:129,147,161``); because H >= 0 always dominates the
-  folded max3, the E/F clamps are provably unobservable in H and in the
-  final score, so the kernel drops them (2 fewer ops/cell). The oracle and
-  differential tests pin the score equivalence.
+  output is one product of a 0/1 weight with a small-integer score.
+- **f32 arithmetic**: the VPU's int32 and float32 element rates are equal
+  (measured), all DP values are integers far below 2**24 (|score| <=
+  (127+|go|) * len), so f32 is exact and skips the per-cell f32->int32
+  convert the MXU path would otherwise need. Scores convert to int32 once,
+  at emit. This subsumes the reference's int16 wraparound (SURVEY.md §7.4)
+  and the overflow-rescan its north star asks for: no overflow is possible
+  for any sequence either engine can hold in memory.
+
+**The G-form recurrence.** The reference's formulation
+(``src/alignment.c:122-161``, floors included) is:
+
+    H = max(0, H_d+s, E_d+s, F_d+s)         (d = diagonal)
+    E = max(0, H_u+go, E_u+ge, F_u+go)      (u = previous db position)
+    F = max(0, H_l+go, E_l+go, F_l+ge)      (l = previous query position)
+
+Define G = max(H, E, F). Because H >= 0 pointwise, G = max(H', E, F, 0) with
+H' = G_d + s unfloored. Given ge >= go (gap_open <= 0, which the reference's
+scoring always satisfies — penalties are negative, ``scoring_init``), the
+E/F updates collapse onto G:
+
+    max(H_u, F_u) + go  ==  max(H_u+go, E_u+go, F_u+go)   [E_u+go <= E_u+ge]
+                        ==  G_u + go
+    E = max(G_u + go, E_u + ge)
+    F = max(G_l + go, F_l + ge)
+    H' = G_d + s
+    G = max(max(H', E), max(F, 0))
+
+and the running maximum can be tracked on G instead of H: every E/F value
+is some earlier H plus negative gap penalties, so max over cells of G equals
+max over cells of floored H (both >= 0). The E/F zero-floors are dropped as
+before (H's 0 inside G dominates them everywhere they could be observed).
+This is 4 adds + 6 maxes per cell (vs 12 ops for the direct form), and the
+cell state shrinks to (Gg = G+go, E) per row and (Gg, F) per column chain —
+two row buffers instead of three, which buys more interleaved windows under
+the same VMEM budget. The ``-go`` bias on stored G is folded into the
+substitution profile (``P'[i,c] = table[q_i,c] - go``) so the diagonal term
+is a single add: H' = Gg_d + P'[i, char]. Bit-exactness against the
+reference recurrences is pinned by the oracle differential tests.
 
 Implementation notes forced by this jax/libtpu version's Mosaic:
 - ``fori_loop`` carries whose yield is not derived from their own carry slot
@@ -41,10 +69,15 @@ Implementation notes forced by this jax/libtpu version's Mosaic:
   left/diagonal chain state is therefore routed through a small VMEM scratch
   buffer between unrolled row groups (UI rows per group), and the only loop
   carries are self-derived running maxima.
+- int16/int8 vector arithmetic does not compile at all (the reference's
+  16-bit-lane trick has no TPU analog on this toolchain), and kernels whose
+  unrolled inner body is too large crash the compiler — window count x
+  j-block x row-unroll is capped (see ``choose_config``).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -58,22 +91,22 @@ ALPHA = 32  # alphabet slots
 
 # Defaults tuned on TPU v5e (see docs/DESIGN.md for the measurement log).
 DEFAULT_SL = 8  # sublanes per window (8 -> 1024 seqs/window)
-DEFAULT_NW = 2  # interleaved windows
-DEFAULT_JB = 8  # db positions chained through registers per row sweep
-DEFAULT_IC = 64  # query rows per substitution-score chunk
-DEFAULT_UI = 8  # unrolled query rows per loop iteration
+DEFAULT_NW = 8  # interleaved windows
+DEFAULT_JB = 4  # db positions chained through registers per row sweep
+DEFAULT_UI = 4  # unrolled query rows per loop iteration
+
+# Largest |P'| = |table - go| exactly representable in bfloat16.
+_BF16_EXACT = 256
 
 
-def _kernel(
-    prof_ref,  # (NC*IC, ALPHA) bf16 query profile (padded rows zero)
-    db_ref,  # (NW, 1, JB, SL, LANES) int32 db chars for this grid step
-    out_ref,  # (NW, SL, LANES) int32 best scores
-    row_h,  # scratch (NW, LQP, SL, LANES) int32 rolling rows
+def _run_block(
+    prof_ref,
+    d,  # (NW, JB, SL, LANES) int32 db chars for this j-block
+    row_gg,
     row_e,
-    row_f,
-    s_buf,  # scratch (NW, JB, IC, SL, LANES) int32 substitution scores
-    best_ref,  # scratch (NW, SL, LANES) int32
-    state_ref,  # scratch (NW, 3*JB+1, SL, LANES) int32 left/diag chain
+    s_buf,
+    best_ref,
+    state_ref,
     *,
     lqp: int,
     sl: int,
@@ -85,19 +118,26 @@ def _kernel(
     go: int,
     ge: int,
 ):
-    j = pl.program_id(0)
-    nj = pl.num_programs(0)
+    """Advance the DP over one j-block (JB db positions x all query rows).
 
-    @pl.when(j == 0)
-    def _init():
-        row_h[...] = jnp.zeros_like(row_h)
-        row_e[...] = jnp.zeros_like(row_e)
-        row_f[...] = jnp.zeros_like(row_f)
-        best_ref[...] = jnp.zeros_like(best_ref)
+    Shared by the fixed-batch and segmented-stream kernels. Reads/writes the
+    rolling row buffers and the running best in scratch.
+    """
+    go_f = jnp.float32(go)
+    ge_f = jnp.float32(ge)
+    zero = jnp.float32(0)
 
-    d = db_ref[:, 0]  # (NW, JB, SL, LANES)
-    # Left boundary column (i = -1) is zero for every j-block.
-    state_ref[...] = jnp.zeros_like(state_ref)
+    # Left boundary (query position -1) for every j-block: G = 0 -> Gg = go,
+    # F = 0, diagonal Gg = go (local alignment zero boundary,
+    # src/alignment.c:77-85, 91-97).
+    gg0 = jnp.full((sl, LANES), go_f, jnp.float32)
+    f0 = jnp.zeros((sl, LANES), jnp.float32)
+    for w in range(nw):
+        for t in range(jb):
+            state_ref[w, 2 * t] = gg0
+            state_ref[w, 2 * t + 1] = f0
+        state_ref[w, 2 * jb] = gg0
+
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (ALPHA, sl, LANES), 0)
     # One-hot encodings are chunk-invariant: build once per grid step.
     onehots = [
@@ -109,51 +149,50 @@ def _kernel(
         def body(g, best):
             best = list(best)
             base = c * ic + g * ui
-            lh = [[state_ref[w, 3 * t + 0] for t in range(jb)] for w in range(nw)]
-            le = [[state_ref[w, 3 * t + 1] for t in range(jb)] for w in range(nw)]
-            lf = [[state_ref[w, 3 * t + 2] for t in range(jb)] for w in range(nw)]
-            t0 = [state_ref[w, 3 * jb] for w in range(nw)]
+            lgg = [[state_ref[w, 2 * t] for t in range(jb)] for w in range(nw)]
+            lf = [
+                [state_ref[w, 2 * t + 1] for t in range(jb)] for w in range(nw)
+            ]
+            dt = [state_ref[w, 2 * jb] for w in range(nw)]
             for u in range(ui):
                 i = base + u
-                up_h = [row_h[w, i] for w in range(nw)]
-                up_e = [row_e[w, i] for w in range(nw)]
-                up_f = [row_f[w, i] for w in range(nw)]
-                m_up = [jnp.maximum(up_h[w], up_f[w]) for w in range(nw)]
-                t0n = [jnp.maximum(m_up[w], up_e[w]) for w in range(nw)]
-                cur_e = list(up_e)
-                dt = list(t0)
+                gg_prev = [row_gg[w, i] for w in range(nw)]
+                e_prev = [row_e[w, i] for w in range(nw)]
+                # Diagonal chain: row i's t=0 diagonal is Gg at (previous
+                # block's last t, i-1); row i+1's is this row's pre-update
+                # row_gg[i] — captured here before the sweep overwrites it.
+                t0n = gg_prev
                 for t in range(jb):
                     s = [s_buf[w, t, i - c * ic] for w in range(nw)]
-                    h = [jnp.maximum(dt[w] + s[w], 0) for w in range(nw)]
+                    hp = [dt[w] + s[w] for w in range(nw)]  # H' = G_d + s
                     e = [
-                        jnp.maximum(m_up[w] + go, cur_e[w] + ge)
+                        jnp.maximum(gg_prev[w], e_prev[w] + ge_f)
                         for w in range(nw)
                     ]
-                    mhe = [jnp.maximum(lh[w][t], le[w][t]) for w in range(nw)]
                     f = [
-                        jnp.maximum(mhe[w] + go, lf[w][t] + ge)
+                        jnp.maximum(lgg[w][t], lf[w][t] + ge_f)
                         for w in range(nw)
                     ]
-                    best = [jnp.maximum(best[w], h[w]) for w in range(nw)]
-                    if t + 1 < jb:
-                        # Diagonal for (j0+t+1, i) is (j0+t, i-1): max3 of
-                        # this t's left state, still unmodified here.
-                        dt = [jnp.maximum(mhe[w], lf[w][t]) for w in range(nw)]
-                    m_up = [jnp.maximum(h[w], f[w]) for w in range(nw)]
-                    cur_e = e
+                    t1 = [jnp.maximum(hp[w], e[w]) for w in range(nw)]
+                    t2 = [jnp.maximum(f[w], zero) for w in range(nw)]
+                    gv = [jnp.maximum(t1[w], t2[w]) for w in range(nw)]
+                    best = [jnp.maximum(best[w], gv[w]) for w in range(nw)]
+                    gg = [gv[w] + go_f for w in range(nw)]
                     for w in range(nw):
-                        lh[w][t], le[w][t], lf[w][t] = h[w], e[w], f[w]
-                t0 = t0n
+                        dt[w] = lgg[w][t]  # diagonal for t+1: Gg(t, i-1)
+                        lgg[w][t] = gg[w]
+                        lf[w][t] = f[w]
+                    gg_prev = gg
+                    e_prev = e
+                dt = t0n
                 for w in range(nw):
-                    row_h[w, i] = lh[w][jb - 1]
-                    row_e[w, i] = le[w][jb - 1]
-                    row_f[w, i] = lf[w][jb - 1]
+                    row_gg[w, i] = gg_prev[w]
+                    row_e[w, i] = e_prev[w]
             for w in range(nw):
                 for t in range(jb):
-                    state_ref[w, 3 * t + 0] = lh[w][t]
-                    state_ref[w, 3 * t + 1] = le[w][t]
-                    state_ref[w, 3 * t + 2] = lf[w][t]
-                state_ref[w, 3 * jb] = t0[w]
+                    state_ref[w, 2 * t] = lgg[w][t]
+                    state_ref[w, 2 * t + 1] = lf[w][t]
+                state_ref[w, 2 * jb] = dt[w]
             return best
 
         return body
@@ -165,21 +204,119 @@ def _kernel(
         p_chunk = prof_ref[pl.ds(c * ic, ic), :]  # (IC, 32) bf16
         for w in range(nw):
             for t in range(jb):
-                s_t = jax.lax.dot_general(
+                s_buf[w, t] = jax.lax.dot_general(
                     p_chunk,
                     onehots[w][t],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (IC, SL, LANES) f32
-                s_buf[w, t] = s_t.astype(jnp.int32)
         groups = min(ic, lqp - c * ic) // ui
         best = jax.lax.fori_loop(0, groups, make_body(c), best)
     for w in range(nw):
         best_ref[w] = best[w]
 
+
+def _kernel(
+    prof_ref,  # (NC*IC, ALPHA) bf16 biased query profile (padded rows zero)
+    db_ref,  # (NW, 1, JB, SL, LANES) int32 db chars for this grid step
+    out_ref,  # (NW, SL, LANES) int32 best scores
+    row_gg,  # scratch (NW, LQP, SL, LANES) f32: Gg = G+go at (prev t, i)
+    row_e,  # scratch (NW, LQP, SL, LANES) f32: E at (prev t, i)
+    s_buf,  # scratch (NW, JB, IC, SL, LANES) f32 biased substitution scores
+    best_ref,  # scratch (NW, SL, LANES) f32
+    state_ref,  # scratch (NW, 2*JB+1, SL, LANES) f32 left/diag chain
+    **params,
+):
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+    go_f = jnp.float32(params["go"])
+
+    @pl.when(j == 0)
+    def _init():
+        # Boundary G = 0 for the column left of the database start ->
+        # stored biased value is go.
+        row_gg[...] = jnp.full_like(row_gg, go_f)
+        row_e[...] = jnp.zeros_like(row_e)
+        best_ref[...] = jnp.zeros_like(best_ref)
+
+    _run_block(
+        prof_ref, db_ref[:, 0], row_gg, row_e, s_buf, best_ref, state_ref,
+        **params,
+    )
+
     @pl.when(j == nj - 1)
     def _emit():
-        out_ref[...] = best_ref[...]
+        out_ref[...] = best_ref[...].astype(jnp.int32)
+
+
+def _kernel_stream(
+    fs_ref,  # (1, NW, 2) int32 SMEM: [w,0] flush-slot+1 at block start;
+    #          [w,1] final flush-slot+1 (only nonzero on the last block)
+    prof_ref,  # (NC*IC, ALPHA) bf16 biased query profile
+    db_ref,  # (NW, 1, JB, SL, LANES) int32 stream chars for this grid step
+    out_ref,  # (NSLOTS, SL, LANES) int32 per-segment best scores
+    row_gg,
+    row_e,
+    s_buf,
+    best_ref,
+    state_ref,
+    *,
+    lqp: int,
+    sl: int,
+    nw: int,
+    **params,
+):
+    """Segmented-stream variant: each window carries its own concatenation of
+    database lane-groups (segments). A nonzero ``fs[w,0]`` on a block means a
+    new segment starts here: the finished previous segment's best is flushed
+    to its output slot and that window's DP state resets. This scores an
+    arbitrarily long database in ONE dispatch — the TPU replacement for the
+    reference's stream of OpenMP batch dispatches (src/alignment_cmdline.c:
+    501-527), with no per-batch launch cost or shape recompilation.
+    """
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+    go_f = jnp.float32(params["go"])
+
+    @pl.when(j == 0)
+    def _init():
+        row_gg[...] = jnp.full_like(row_gg, go_f)
+        row_e[...] = jnp.zeros_like(row_e)
+        best_ref[...] = jnp.zeros_like(best_ref)
+
+    for w in range(nw):
+        slot = fs_ref[0, w, 0]
+
+        @pl.when(slot > 0)
+        def _flush(w=w, slot=slot):
+            out_ref[slot - 1] = best_ref[w].astype(jnp.int32)
+            best_ref[w] = jnp.zeros((sl, LANES), jnp.float32)
+            row_gg[w] = jnp.full((lqp, sl, LANES), go_f, jnp.float32)
+            row_e[w] = jnp.zeros((lqp, sl, LANES), jnp.float32)
+
+    _run_block(
+        prof_ref, db_ref[:, 0], row_gg, row_e, s_buf, best_ref, state_ref,
+        lqp=lqp, sl=sl, nw=nw, **params,
+    )
+
+    @pl.when(j == nj - 1)
+    def _final():
+        for w in range(nw):
+            slot = fs_ref[0, w, 1]
+
+            @pl.when(slot > 0)
+            def _flush_end(w=w, slot=slot):
+                out_ref[slot - 1] = best_ref[w].astype(jnp.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelConfig:
+    """Tile configuration for one query length (see choose_config)."""
+
+    nw: int  # interleaved windows
+    jb: int  # db positions per register chain
+    ui: int  # unrolled query rows per loop iteration
+    ic: int  # query rows per substitution chunk
 
 
 @functools.partial(
@@ -195,7 +332,7 @@ def sw_pallas_windows(
     sl: int = DEFAULT_SL,
     nw: int = DEFAULT_NW,
     jb: int = DEFAULT_JB,
-    ic: int = DEFAULT_IC,
+    ic: int | None = None,
     ui: int = DEFAULT_UI,
     interpret: bool = False,
 ) -> jax.Array:
@@ -206,15 +343,17 @@ def sw_pallas_windows(
       db_windows: (NW, Lb, SL*128) int database batch, window-major,
         position-major within a window, '*'-padded; ``Lb % jb == 0``.
       go: total gap-open penalty (gap_open + gap_extend), negative.
-      ge: gap-extend penalty, negative.
+      ge: gap-extend penalty, negative. Requires ge >= go (gap_open <= 0),
+        the reference's invariant; the G-form recurrence depends on it.
 
     Returns:
       (NW * SL * 128,) int32 best scores, window-major lane order.
 
-    The query is internally padded to a multiple of ``ui`` with zero-score
-    rows; padded-row H values are bounded by existing maxima and feed no
-    real rows, so scores are unchanged.
+    The query is internally padded to a multiple of ``ui`` with zero-bias
+    rows (H' = Gg_d <= G_d <= best there), so scores are unchanged.
     """
+    if ge < go:
+        raise ValueError(f"G-form kernel requires ge >= go (got {go=}, {ge=})")
     lq = profile.shape[0]
     nw_in, lb, b = db_windows.shape
     if nw_in != nw or b != sl * LANES:
@@ -223,14 +362,16 @@ def sw_pallas_windows(
         )
     if lb % jb != 0:
         raise ValueError(f"db length {lb} not a multiple of jb={jb}")
-    if ic % ui != 0:
-        raise ValueError(f"ic={ic} must be a multiple of ui={ui}")
     lqp = -(-lq // ui) * ui
-    ic = min(ic, lqp)  # never build an S chunk larger than the query
+    if ic is None:
+        ic = lqp
+    ic = min(-(-ic // ui) * ui, lqp)
     nc = -(-lqp // ic)
     nj = lb // jb
 
-    prof = profile.astype(jnp.bfloat16)
+    # Biased profile P' = P - go, exact in bf16 (|P'| <= 256 asserted by the
+    # dispatcher; see supported_scoring).
+    prof = (profile.astype(jnp.float32) - go).astype(jnp.bfloat16)
     prof = jnp.pad(prof, ((0, nc * ic - lq), (0, 0)))
     dbb = db_windows.astype(jnp.int32).reshape(nw, nj, jb, sl, LANES)
 
@@ -256,18 +397,17 @@ def sw_pallas_windows(
         ),
         out_shape=jax.ShapeDtypeStruct((nw, sl, LANES), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((nw, lqp, sl, LANES), jnp.int32),
-            pltpu.VMEM((nw, lqp, sl, LANES), jnp.int32),
-            pltpu.VMEM((nw, lqp, sl, LANES), jnp.int32),
-            pltpu.VMEM((nw, jb, ic, sl, LANES), jnp.int32),
-            pltpu.VMEM((nw, sl, LANES), jnp.int32),
-            pltpu.VMEM((nw, 3 * jb + 1, sl, LANES), jnp.int32),
+            pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
+            pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
+            pltpu.VMEM((nw, jb, ic, sl, LANES), jnp.float32),
+            pltpu.VMEM((nw, sl, LANES), jnp.float32),
+            pltpu.VMEM((nw, 2 * jb + 1, sl, LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=13 * lq * lb * nw * sl * LANES,
+            flops=10 * lq * lb * nw * sl * LANES,
             bytes_accessed=lb * nw * sl * LANES * 4,
             transcendentals=0,
         ),
@@ -276,9 +416,125 @@ def sw_pallas_windows(
     return out.reshape(nw * sl * LANES)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "go", "ge", "nslots", "sl", "nw", "jb", "ic", "ui", "interpret",
+    ),
+)
+def sw_pallas_stream(
+    profile: jax.Array,
+    streams: jax.Array,
+    fs: jax.Array,
+    go: int,
+    ge: int,
+    *,
+    nslots: int,
+    sl: int = DEFAULT_SL,
+    nw: int = DEFAULT_NW,
+    jb: int = DEFAULT_JB,
+    ic: int | None = None,
+    ui: int = DEFAULT_UI,
+    interpret: bool = False,
+) -> jax.Array:
+    """Score one query against a whole segmented database in one dispatch.
+
+    Args:
+      profile: (Lq, 32) int query profile.
+      streams: (NW, L, SL*128) int database streams: each window is a
+        concatenation of '*'-padded lane-group segments (pack_streams).
+      fs: (L//jb, NW, 2) int32 segment table: ``fs[j,w,0]`` = 1+output-slot
+        of the segment *ending* at block j (i.e. a new segment starts
+        there), 0 otherwise; ``fs[L//jb-1,w,1]`` = 1+slot of the final
+        segment.
+      nslots: number of output slots (segments across all windows).
+
+    Returns:
+      (nslots, SL*128) int32 best scores, one row per segment, lane-major.
+    """
+    if ge < go:
+        raise ValueError(f"G-form kernel requires ge >= go (got {go=}, {ge=})")
+    lq = profile.shape[0]
+    nw_in, lb, b = streams.shape
+    if nw_in != nw or b != sl * LANES:
+        raise ValueError(
+            f"streams shape {streams.shape} != (nw={nw}, L, {sl*LANES})"
+        )
+    if lb % jb != 0:
+        raise ValueError(f"stream length {lb} not a multiple of jb={jb}")
+    nj = lb // jb
+    if fs.shape != (nj, nw, 2):
+        raise ValueError(f"fs shape {fs.shape} != {(nj, nw, 2)}")
+    lqp = -(-lq // ui) * ui
+    if ic is None:
+        ic = lqp
+    ic = min(-(-ic // ui) * ui, lqp)
+    nc = -(-lqp // ic)
+
+    prof = (profile.astype(jnp.float32) - go).astype(jnp.bfloat16)
+    prof = jnp.pad(prof, ((0, nc * ic - lq), (0, 0)))
+    dbb = streams.astype(jnp.int32).reshape(nw, nj, jb, sl, LANES)
+
+    kernel = functools.partial(
+        _kernel_stream, lqp=lqp, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui, nc=nc,
+        go=int(go), ge=int(ge),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nj,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, nw, 2), lambda j: (j, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (nc * ic, ALPHA), lambda j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (nw, 1, jb, sl, LANES),
+                lambda j: (0, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (nslots, sl, LANES), lambda j: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nslots, sl, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
+            pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
+            pltpu.VMEM((nw, jb, ic, sl, LANES), jnp.float32),
+            pltpu.VMEM((nw, sl, LANES), jnp.float32),
+            pltpu.VMEM((nw, 2 * jb + 1, sl, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * lq * lb * nw * sl * LANES,
+            bytes_accessed=lb * nw * sl * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(fs.astype(jnp.int32), prof, dbb)
+    return out.reshape(nslots, sl * LANES)
+
+
 # Per-window lane width of the production configuration.
 WINDOW_LANES = DEFAULT_SL * LANES  # 1024
-LANE_BATCH = DEFAULT_NW * WINDOW_LANES  # total lanes per dispatch (4096 max)
+LANE_BATCH = DEFAULT_NW * WINDOW_LANES  # total lanes per dispatch
+
+
+def supported_scoring(profile: np.ndarray | jax.Array, go: int, ge: int) -> bool:
+    """True if this (profile, gaps) pair is exactly representable here.
+
+    Requires ge >= go (gap_open <= 0, always true for the reference's
+    scoring conventions) and the biased profile within bf16's exact-integer
+    range. Callers route unsupported systems to the XLA engine.
+    """
+    if ge < go:
+        return False
+    pmax = float(jnp.max(jnp.abs(profile.astype(jnp.float32) - go)))
+    return pmax <= _BF16_EXACT
 
 
 def sw_pallas_multi(
@@ -308,54 +564,94 @@ def sw_pallas_multi(
     else:
         dbw = db
         nw = db.shape[0]
-    _, ic = choose_config(int(profile.shape[0]), nw=nw)
+    cfg = choose_config(int(profile.shape[0]), nw=nw)
+    lb = dbw.shape[1]
+    if lb % cfg.jb != 0:
+        dbw = jnp.pad(
+            dbw,
+            ((0, 0), (0, cfg.jb - lb % cfg.jb), (0, 0)),
+            constant_values=31,  # '*' padding
+        )
     return sw_pallas_windows(
-        profile, dbw, go, ge, nw=nw, ic=ic, interpret=interpret
+        profile,
+        dbw,
+        go,
+        ge,
+        nw=cfg.nw,
+        jb=cfg.jb,
+        ui=cfg.ui,
+        ic=cfg.ic,
+        interpret=interpret,
     )
 
 
-# VMEM budget model: 3 H/E/F rows (NW * LQP * 4 KB each) + S buffer
+# VMEM budget model: 2 row buffers (NW * LQP * 4 KB each) + S buffer
 # (NW * JB * IC * 4 KB) + state/db/pipeline overhead must stay under ~16 MB.
-_VMEM_BUDGET = 13.5 * 2**20
+_VMEM_BUDGET = 13.0 * 2**20
+# Mosaic crashes when the unrolled loop body is too large; nw*jb*ui beyond
+# this limit is rejected (measured on jax 0.9 / libtpu 0.0.34).
+_BODY_LIMIT = 128
 MAX_QUERY_ROWS = 1024  # beyond this, route to the XLA engine
 
 
 def choose_config(
     lq: int,
-    jb: int = DEFAULT_JB,
-    ui: int = DEFAULT_UI,
     nw: int | None = None,
-) -> tuple[int, int]:
-    """Pick (windows, S-chunk rows) for a query length.
+) -> KernelConfig:
+    """Pick (windows, j-block, row-unroll, S-chunk rows) for a query length.
 
     More interleaved windows = more independent DP chains = higher VPU
-    utilization (the kernel is latency-bound); a larger S chunk amortizes
-    the per-chunk MXU section (measured +65% at lq=144 for ic=lqp vs 48).
-    Constraints: VMEM footprint (rows + S buffer <= ~13.5 MB) and the Mosaic
-    unrolled-body limit (nw * jb * ui <= 128 cell-blocks; larger bodies
-    crash the compiler on this jax/libtpu version).
+    utilization (the kernel is latency-bound; measured chain scaling on v5e
+    saturates around 8). jb and ui trade register-chain length against the
+    Mosaic unrolled-body ceiling (nw * jb * ui <= _BODY_LIMIT). ui also sets
+    query-row padding (lq rounds up to a multiple of ui), which is pure
+    waste for short queries. The S chunk is sized to the whole padded query
+    when VMEM allows.
     """
-    lqp = -(-lq // ui) * ui
-    max_nw = max(1, 128 // (jb * ui))
-    candidates = [nw] if nw is not None else list(range(max_nw, 0, -1))
-    for nw_c in candidates:
-        for ic in (lqp, 256, 128, 64, 32):
-            if ic > lqp or ic % ui:
-                continue
-            rows = 3 * lqp * nw_c * WINDOW_LANES * 4
-            sbuf = nw_c * jb * ic * WINDOW_LANES * 4
-            if rows + sbuf <= _VMEM_BUDGET:
-                return nw_c, ic
-    return candidates[-1], min(32, lqp)
+    best = None
+    cand_nw = [nw] if nw is not None else [8, 6, 4, 2, 1]
+    for nw_c in cand_nw:
+        for jb in (4, 8, 2):
+            for ui in (4, 8, 2, 1):
+                if nw_c * jb * ui > _BODY_LIMIT:
+                    continue
+                lqp = -(-lq // ui) * ui
+                rows = 2 * lqp * nw_c * WINDOW_LANES * 4
+                state = (2 * jb + 1) * nw_c * WINDOW_LANES * 4
+                # largest ic (multiple of ui) fitting the leftover budget
+                ic_budget = (_VMEM_BUDGET - rows - state) / (
+                    nw_c * jb * WINDOW_LANES * 4
+                )
+                ic = min(lqp, int(ic_budget // ui) * ui)
+                if ic < ui:
+                    continue
+                waste = lqp / max(lq, 1)
+                key = (nw_c, -waste, jb * ui, ic)
+                if best is None or key > best[0]:
+                    best = (key, KernelConfig(nw=nw_c, jb=jb, ui=ui, ic=ic))
+        if best is not None and (nw is not None or best[1].nw == nw_c):
+            break
+    if best is None:
+        return KernelConfig(nw=1, jb=2, ui=1, ic=1)
+    return best[1]
 
 
-def choose_windows(lq: int, jb: int = DEFAULT_JB, ui: int = DEFAULT_UI) -> int:
-    return choose_config(lq, jb, ui)[0]
+def choose_windows(lq: int) -> int:
+    return choose_config(lq).nw
 
 
 def sw_pallas(profile, db, go, ge, *, interpret: bool = False):
     """Single-window (1024-lane) convenience wrapper."""
     db = jnp.asarray(db)
+    cfg = choose_config(int(profile.shape[0]), nw=1)
     return sw_pallas_windows(
-        profile, db[None], go, ge, nw=1, interpret=interpret
+        profile,
+        db[None],
+        go,
+        ge,
+        nw=1,
+        jb=cfg.jb,
+        ui=cfg.ui,
+        ic=cfg.ic,
+        interpret=interpret,
     )

@@ -131,10 +131,15 @@ def search_database(
             MAX_QUERY_ROWS,
             WINDOW_LANES,
             choose_windows,
+            supported_scoring,
         )
 
-        if len(query_idx) > MAX_QUERY_ROWS:
-            # Too long for a single VMEM-resident row set: XLA engine.
+        if len(query_idx) > MAX_QUERY_ROWS or not supported_scoring(
+            profile, go, ge
+        ):
+            # Too long for a single VMEM-resident row set, or a scoring
+            # system outside the G-form kernel's envelope (positive
+            # gap-open, |scores| beyond bf16-exact range): XLA engine.
             eng_name = "wavefront"
             nw, win = 1, 1024
         else:

@@ -84,6 +84,92 @@ def pack_encoded(
         yield PackedBatch(db=db, n_valid=len(group), record_ids=ids)
 
 
+@dataclass
+class StreamPack:
+    """A whole database packed as NW segmented window streams.
+
+    Input format of the single-dispatch segmented Pallas kernel
+    (``ops.swa_pallas.sw_pallas_stream``): each window stream is a
+    back-to-back concatenation of '*'-padded lane-group segments; ``fs``
+    tells the kernel where segments end (flush + reset). This replaces the
+    reference's stream of OpenMP batch dispatches
+    (``src/alignment_cmdline.c:501-527``) with one device launch.
+    """
+
+    streams: np.ndarray  # (nw, L, win) int8, '*'-padded
+    fs: np.ndarray  # (L//jb, nw, 2) int32 segment table (see kernel)
+    slot_ids: list[np.ndarray]  # per output slot: original record ids
+    real_residues: int
+    padded_cells_per_query_row: int  # nw * L * win (perf accounting)
+
+
+def pack_streams(
+    db,
+    order: np.ndarray,
+    nw: int,
+    win: int = 1024,
+    jb: int = 4,
+    grain: int = 32,
+) -> StreamPack:
+    """Pack a sorted database into NW balanced segmented window streams.
+
+    Args:
+      db: EncodedDatabase (flat-buffer records).
+      order: record ids in descending length order (the caller sorts).
+      nw: number of independent window streams (kernel interleave factor).
+      win: lanes per window (1024 on TPU).
+      jb: kernel j-block size; segment boundaries are multiples of it.
+      grain: segment-length rounding (multiple of jb); coarser = fewer
+        boundary entries, finer = less padding.
+
+    Lane-groups of ``win`` consecutive records (descending length, so
+    near-uniform within a group) become segments; segments are dealt to the
+    currently-shortest stream (greedy balancing — they arrive in descending
+    length order, so streams end within one segment of each other).
+    """
+    from .native_io import pack_batch
+
+    if grain % jb:
+        raise ValueError(f"{grain=} must be a multiple of {jb=}")
+    n = len(order)
+    lengths = db.lengths
+    nslots = -(-n // win)
+    slot_ids = [order[s * win : (s + 1) * win] for s in range(nslots)]
+    slot_lb = [
+        max(grain, -(-int(lengths[ids].max(initial=1)) // grain) * grain)
+        for ids in slot_ids
+    ]
+    # Greedy balance: place each segment on the shortest stream.
+    stream_len = [0] * nw
+    placement: list[list[int]] = [[] for _ in range(nw)]
+    for s in range(nslots):
+        w = min(range(nw), key=stream_len.__getitem__)
+        placement[w].append(s)
+        stream_len[w] += slot_lb[s]
+    L = max(max(stream_len), grain)
+    streams = np.full((nw, L, win), PAD_INDEX, dtype=np.int8)
+    fs = np.zeros((L // jb, nw, 2), dtype=np.int32)
+    for w in range(nw):
+        off = 0
+        for k, s in enumerate(placement[w]):
+            if k > 0:
+                # A new segment starts at this block: flush the previous one.
+                fs[off // jb, w, 0] = placement[w][k - 1] + 1
+            streams[w, off : off + slot_lb[s]] = pack_batch(
+                db, slot_ids[s], win, slot_lb[s]
+            )
+            off += slot_lb[s]
+        if placement[w]:
+            fs[L // jb - 1, w, 1] = placement[w][-1] + 1
+    return StreamPack(
+        streams=streams,
+        fs=fs,
+        slot_ids=slot_ids,
+        real_residues=int(lengths[order].sum()),
+        padded_cells_per_query_row=nw * L * win,
+    )
+
+
 def pack_stream(
     encoded_iter: Iterable[np.ndarray],
     lanes: int,

@@ -9,7 +9,11 @@ import numpy as np
 import pytest
 
 from seqalign_tpu.models import PAD_INDEX, encode, load_builtin, ScoringModel
-from seqalign_tpu.ops.swa_pallas import choose_config, sw_pallas_windows
+from seqalign_tpu.ops.swa_pallas import (
+    choose_config,
+    sw_pallas_stream,
+    sw_pallas_windows,
+)
 from seqalign_tpu.ops.swa_xla import make_profile, sw_wavefront
 
 from conftest import random_protein
@@ -17,16 +21,24 @@ from conftest import random_protein
 
 class TestChooseConfig:
     def test_monotone_windows(self):
-        nws = [choose_config(lq)[0] for lq in (64, 144, 256, 384, 512, 1024)]
+        nws = [choose_config(lq).nw for lq in (64, 144, 256, 384, 512, 1024)]
         assert all(a >= b for a, b in zip(nws, nws[1:]))
         assert nws[0] >= 2  # short queries get at least 2 windows
 
-    def test_ic_bounds(self):
-        for lq in (8, 144, 333, 1024):
-            nw, ic = choose_config(lq)
-            lqp = -(-lq // 8) * 8
-            assert 1 <= nw
-            assert ic <= lqp and ic % 8 == 0
+    def test_bounds(self):
+        for lq in (8, 17, 144, 333, 1024):
+            cfg = choose_config(lq)
+            lqp = -(-lq // cfg.ui) * cfg.ui
+            assert 1 <= cfg.nw
+            assert cfg.nw * cfg.jb * cfg.ui <= 128
+            assert cfg.ui <= cfg.ic <= lqp and cfg.ic % cfg.ui == 0
+            # VMEM footprint of the chosen config stays under budget
+            vmem = (
+                2 * lqp * cfg.nw * 4096
+                + cfg.nw * cfg.jb * cfg.ic * 4096
+                + (2 * cfg.jb + 1) * cfg.nw * 4096
+            )
+            assert vmem <= 13.5 * 2**20
 
 
 @pytest.mark.slow
@@ -53,3 +65,49 @@ class TestPallasInterpret:
             sw_wavefront(prof, db, sc.gap_open_total, sc.gap_extend)
         )
         np.testing.assert_array_equal(got[:40], want[:40])
+
+    def test_stream_segments_match_wavefront(self, rng, blosum62):
+        """Segmented stream kernel: several segments per window, flush+reset."""
+        from seqalign_tpu.pipeline import _db_from_encoded
+        from seqalign_tpu.utils.packing import pack_streams
+
+        sc = blosum62
+        q = sc.query_indices(random_protein(rng, 11))
+        prof = make_profile(sc.table, q)
+        nw, win, jb, grain = 2, 1024, 4, 8
+        n = 5000  # ~5 slots over 2 windows, uneven lengths
+        encoded = [
+            encode(random_protein(rng, int(rng.integers(1, 14))))
+            for _ in range(n)
+        ]
+        db = _db_from_encoded(encoded)
+        order = np.argsort(-db.lengths, kind="stable")
+        pack = pack_streams(db, order, nw, win=win, jb=jb, grain=grain)
+        nslots = len(pack.slot_ids)
+        assert nslots >= 4  # exercises multiple flush+reset cycles
+        out = np.asarray(
+            sw_pallas_stream(
+                prof,
+                pack.streams,
+                pack.fs,
+                sc.gap_open_total,
+                sc.gap_extend,
+                nslots=nslots,
+                nw=nw,
+                jb=jb,
+                ui=4,
+                interpret=True,
+            )
+        )
+        scores = np.zeros(n, dtype=np.int32)
+        for slot, ids in enumerate(pack.slot_ids):
+            scores[ids] = out[slot][: len(ids)]
+        # Reference: wavefront engine on a single padded batch.
+        lb = int(db.lengths.max())
+        flat = np.full((lb, n), PAD_INDEX, dtype=np.int32)
+        for i, e in enumerate(encoded):
+            flat[: len(e), i] = e
+        want = np.asarray(
+            sw_wavefront(prof, flat, sc.gap_open_total, sc.gap_extend)
+        )
+        np.testing.assert_array_equal(scores, want)

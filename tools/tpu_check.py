@@ -1,12 +1,20 @@
 """On-hardware validation: compiled Pallas kernel vs XLA engine vs config grid.
 
-Run on a TPU host: ``python tools/tpu_check.py``. Exercises the production
-kernel configurations (choose_config over representative query lengths),
-checks score equality against the wavefront engine, and reports sustained
-GCUPS per configuration. This is the hardware half of the kernel test
-strategy (the logic half is tests/test_pallas.py in interpret mode).
+Run on a TPU host: ``python tools/tpu_check.py [--sweep]``. Exercises the
+production kernel configurations (choose_config over representative query
+lengths), checks score equality against the wavefront engine, and reports
+sustained GCUPS per configuration. This is the hardware half of the kernel
+test strategy (the logic half is tests/test_pallas.py in interpret mode).
+
+Timing methodology (docs/DESIGN.md "Measurement discipline"): on this
+tunneled-TPU environment a dispatch round trip costs ~28 ms and
+``block_until_ready`` on enqueued-but-unfetched results can return early, so
+honest device time is measured by differencing two fetched runs of R1 and R2
+repetitions chained inside jit (the round trip cancels; only device compute
+remains).
 """
 
+import argparse
 import sys
 import time
 
@@ -15,45 +23,133 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
+def timed_gcups(fn, cells_per_call, r1=1, r2=5):
+    """Device-seconds per call via two-point chained-repetition difference.
+
+    ``fn(i)`` must make its computation depend on the iteration index ``i``
+    (e.g. perturb one input element), otherwise XLA hoists the call out of
+    the repetition loop and the measurement collapses.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chain(reps):
+        def body(i, acc):
+            return acc + fn(i)[0]
+
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int32))
+
+    def run(reps):
+        t0 = time.perf_counter()
+        _ = np.asarray(chain(reps))  # forces enqueue + completion + fetch
+        return time.perf_counter() - t0
+
+    # warm both shapes (compile)
+    np.asarray(chain(r1))
+    np.asarray(chain(r2))
+    t1 = min(run(r1) for _ in range(2))
+    t2 = min(run(r2) for _ in range(2))
+    dt = max((t2 - t1) / (r2 - r1), 1e-9)
+    return cells_per_call / dt / 1e9
+
+
 def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--sweep", action="store_true", help="grid-sweep (nw, jb, ui) configs"
+    )
+    parser.add_argument("--lb", type=int, default=4096)
+    parser.add_argument(
+        "--lq", type=int, nargs="*", help="restrict to these query lengths"
+    )
+    parser.add_argument("--nw", type=int, nargs="*", help="sweep: window counts")
+    args = parser.parse_args()
+
     import jax
 
     if jax.default_backend() != "tpu":
         print("SKIP: no TPU backend")
         return 0
 
-    from seqalign_tpu.ops.swa_pallas import choose_config, sw_pallas_windows
+    from seqalign_tpu.ops.swa_pallas import (
+        KernelConfig,
+        choose_config,
+        sw_pallas_windows,
+    )
     from seqalign_tpu.ops.swa_xla import sw_wavefront
 
     rng = np.random.default_rng(11)
     failures = 0
-    for lq in (64, 144, 256, 384, 512, 768):
-        nw, ic = choose_config(lq)
+    lb = args.lb
+
+    def check_and_time(lq, cfg, verify=True):
+        nonlocal failures
         prof = rng.integers(-8, 12, (lq, 32)).astype(np.int32)
-        db = rng.integers(1, 27, (nw, 256, 1024)).astype(np.int32)
-        a = np.asarray(sw_pallas_windows(prof, db, -3, -1, nw=nw, ic=ic))
-        want = np.concatenate(
-            [np.asarray(sw_wavefront(prof, db[w], -3, -1)) for w in range(nw)]
-        )
-        ok = bool((a == want).all())
-        if not ok:
-            failures += 1
+        kw = dict(nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic)
+        ok = True
+        if verify:
+            db = rng.integers(1, 27, (cfg.nw, 256, 1024)).astype(np.int32)
+            try:
+                a = np.asarray(sw_pallas_windows(prof, db, -3, -1, **kw))
+            except Exception as ex:
+                print(
+                    f"lq={lq:4d} {cfg}: COMPILE/RUN FAIL {str(ex)[:80]}"
+                )
+                failures += 1
+                return None
+            want = np.concatenate(
+                [
+                    np.asarray(sw_wavefront(prof, db[w], -3, -1))
+                    for w in range(cfg.nw)
+                ]
+            )
+            ok = bool((a == want).all())
+            if not ok:
+                failures += 1
         dj = jax.device_put(
-            rng.integers(1, 27, (nw, 8192, 1024)).astype(np.int32)
+            rng.integers(1, 27, (cfg.nw, lb, 1024)).astype(np.int32)
         )
         pj = jax.device_put(prof)
-        r = sw_pallas_windows(pj, dj, -3, -1, nw=nw, ic=ic)
-        r.block_until_ready()
-        reps = 5
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            r = sw_pallas_windows(pj, dj, -3, -1, nw=nw, ic=ic)
-        jax.block_until_ready(r)
-        dt = (time.perf_counter() - t0) / reps
-        gcups = lq * 8192 * nw * 1024 / dt / 1e9
-        print(
-            f"lq={lq:4d} nw={nw} ic={ic:4d}: exact={ok}  {gcups:6.0f} GCUPS"
-        )
+        jax.block_until_ready([dj, pj])
+        def fn(i):
+            # Perturb one profile cell by the (bounded) iteration index so
+            # each chained call is distinct — see timed_gcups docstring.
+            import jax.numpy as jnp
+
+            p = pj.at[0, 0].add((i % 4).astype(jnp.int32))
+            return sw_pallas_windows(p, dj, -3, -1, **kw)
+
+        try:
+            gcups = timed_gcups(fn, lq * lb * cfg.nw * 1024)
+        except Exception as ex:
+            print(f"lq={lq:4d} {cfg}: TIMING FAIL {str(ex)[:80]}")
+            failures += 1
+            return None
+        print(f"lq={lq:4d} {cfg}: exact={ok}  {gcups:6.1f} GCUPS")
+        return gcups
+
+    if args.sweep:
+        for lq in args.lq or (17, 144, 512):
+            for nw in args.nw or (4, 6, 8, 10, 12):
+                for jb, ui in ((4, 4), (8, 2), (2, 8), (8, 4), (4, 8)):
+                    cfg0 = choose_config(lq, nw=nw)
+                    lqp = -(-lq // ui) * ui
+                    rows = (2 * lqp * nw + (2 * jb + 1) * nw) * 4096
+                    ic_budget = (13.0 * 2**20 - rows) / (nw * jb * 4096)
+                    ic = min(lqp, max(ui, int(ic_budget // ui) * ui))
+                    if rows + nw * jb * ic * 4096 > 15 * 2**20:
+                        continue
+                    cfg = KernelConfig(nw=nw, jb=jb, ui=ui, ic=ic)
+                    check_and_time(lq, cfg, verify=False)
+            print()
+    else:
+        for lq in args.lq or (17, 64, 144, 256, 384, 512, 768):
+            cfg = choose_config(lq)
+            check_and_time(lq, cfg)
+
     print("FAILURES:", failures)
     return 1 if failures else 0
 
