@@ -3,20 +3,39 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload mirrors the reference's headline benchmark (BASELINE.md): a single
-protein query scored against a large protein database, kernel-region time
-only. The reference's best published configuration sustains 6,978,358
-entries/s (565,247 Swiss-Prot entries in 81 ms on a 16-core/64-thread Xeon
-Gold 6242; Final Report p.32-33). We report GCUPS and derive vs_baseline
-from entries/s against that number on an equivalent workload.
+protein query scored against a Swiss-Prot-scale database (565,247 records,
+gamma length distribution with the Swiss-Prot mean ~363, 20-standard-AA
+residues), PAM250, timing the DP kernel region only — the reference's own
+boundary (src/alignment_cmdline.c:503-509 times only the OpenMP kernel
+loop, excluding FASTA parsing and batch packing).
 
-The database is synthetic (the reference's FASTA fixtures are absent from
-its snapshot — SURVEY.md §4) but matches Swiss-Prot scale: 565,247 records,
-length distribution calibrated to Swiss-Prot (mean ~363, gamma-shaped), and
-a 144-residue query.
+Metric: sustained GCUPS over *real* database residues (padding excluded
+from the numerator; query length 144).
+
+Baseline (vs_baseline denominator), derived in BASELINE.md "Derived
+baseline GCUPS": the reference reports times, not GCUPS, and never states
+its benchmark query length. Its own numbers pin the kernel's cell rate:
+1547 ms serial / 81 ms at 64 threads for Swiss-Prot (Final Report p.32) is
+a 19.1x parallel speedup on a 16-core Xeon 6242, and the kernel's measured
+cell rate (its AVX2 source compiled and run on this host via
+tools/refbench: 1.70 GCUPS/core; L-independent) bounds the serial run at
+~1.7-2.3 GCUPS, i.e. the published 365,383 entries/s serial is only
+consistent with a query of ~15-17 residues. Best-case 64-thread cell rate:
+19.1 x 2.25 = 43 GCUPS (taking the generous end of the per-core band).
+vs_baseline therefore compares machine cell rates on identical workloads:
+ours / 43.0.
+
+Timing method: the axon-tunneled TPU has ~28 ms dispatch RTT and an
+early-acking block_until_ready, so naive wall timing is wrong in both
+directions. The whole database is scored in ONE segmented-stream kernel
+dispatch, and device time is measured by differencing fetched runs of 1 and
+3 chained repetitions (jit fori_loop with an index-perturbed input so XLA
+cannot hoist the call); the RTT cancels exactly.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -24,104 +43,128 @@ import numpy as np
 
 QUERY_LEN = 144
 N_ENTRIES = 565_247
-BASELINE_ENTRIES_PER_S = 6_978_358.0  # reference best (64 threads, p.32-33)
-
-
-def synth_db(rng: np.random.Generator, n: int):
-    """Swiss-Prot-like length distribution (gamma, mean ~363, min 2)."""
-    lengths = np.clip(
-        rng.gamma(shape=1.8, scale=202.0, size=n).astype(np.int64), 2, 35_000
-    )
-    return lengths
+BASELINE_GCUPS = 43.0  # reference best (64T Xeon 6242), see module docstring
+BASELINE_ENTRIES_PER_S = 6_978_358.0  # reference best published entries/s
 
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from seqalign_tpu.models import ScoringModel, load_builtin
+    from seqalign_tpu.models.alphabet import encode
     from seqalign_tpu.ops.swa_xla import make_profile
-    from seqalign_tpu.utils.packing import lattice_round_up
-    from seqalign_tpu.models.alphabet import PAD_INDEX
 
     backend = jax.default_backend()
     rng = np.random.default_rng(42)
+    aa20 = np.array(encode("ACDEFGHIKLMNPQRSTVWY"), dtype=np.int8)
 
     sc = load_builtin(
         "PAM250", ScoringModel(gap_open=-2, gap_extend=-1, use_match_mismatch=False)
     )
-    query = rng.integers(1, 27, QUERY_LEN).astype(np.int32)
+    query = aa20[rng.integers(0, 20, QUERY_LEN)].astype(np.int32)
     profile = make_profile(sc.table, query)
     go, ge = sc.gap_open_total, sc.gap_extend
 
-    if backend == "tpu":
-        from seqalign_tpu.ops.swa_pallas import sw_pallas_multi as engine
-
-        nw, win = 2, 1024
-    else:
-        from seqalign_tpu.ops.swa_xla import sw_wavefront as engine
-
-        nw, win = 1, 1024
-    lanes = nw * win
-
     n = N_ENTRIES if backend == "tpu" else 20_000
-    lengths = np.sort(synth_db(rng, n))[::-1]
+    lengths = np.clip(
+        rng.gamma(shape=1.8, scale=202.0, size=n).astype(np.int64), 2, 35_000
+    )
+    lengths = np.sort(lengths)[::-1].copy()
+    # Flat-buffer database, sequences drawn lazily per record.
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    seq = aa20[rng.integers(0, 20, int(offsets[-1]))]
+    from seqalign_tpu.utils.native_io import EncodedDatabase
 
-    # Build padded lane-batches directly from lengths (content is random;
-    # scores are computed over every real residue, padding is '*'). TPU
-    # batches are window-stacked (NW, Lb, 1024), the production layout.
-    batches = []
-    total_residues = int(lengths.sum())
-    for start in range(0, n, lanes):
-        group = lengths[start : start + lanes]
-        lb = lattice_round_up(int(group[0]))
-        db = np.full((lb, lanes), PAD_INDEX, dtype=np.int8)
-        for lane, L in enumerate(group):
-            db[: int(L), lane] = rng.integers(1, 27, int(L), dtype=np.int8)
-        if nw > 1:
-            db = np.ascontiguousarray(
-                db.reshape(lb, nw, win).transpose(1, 0, 2)
+    db = EncodedDatabase(seq=seq, offsets=offsets, names=[""] * n)
+    real_cells = QUERY_LEN * int(offsets[-1])
+
+    if backend != "tpu":
+        # CPU fallback: XLA wavefront engine through the pipeline.
+        from seqalign_tpu.pipeline import search_database
+
+        order_scores, dt = search_database(query, db, sc, engine="wavefront")
+        gcups = real_cells / dt / 1e9
+        _emit(gcups, dt, n, real_cells, backend, real_cells)
+        return
+
+    from seqalign_tpu.ops.swa_pallas import choose_config, sw_pallas_stream
+    from seqalign_tpu.utils.packing import pack_streams
+
+    # Chunk the database so the output-slot VMEM reserve still leaves room
+    # for 8 interleaved windows (the measured throughput sweet spot).
+    chunk_slots = 288
+    order = np.arange(n)  # already sorted descending
+    packs = []
+    padded_cells = 0
+    for start in range(0, n, chunk_slots * 1024):
+        chunk = order[start : start + chunk_slots * 1024]
+        nslots = -(-len(chunk) // 1024)
+        cfg = choose_config(QUERY_LEN, reserve=nslots * 4096 + (1 << 20))
+        pack = pack_streams(db, chunk, cfg.nw, win=1024, jb=cfg.jb, grain=32)
+        padded_cells += QUERY_LEN * pack.padded_cells_per_query_row
+        packs.append(
+            (
+                jax.device_put(pack.streams),  # int8; converts on device
+                jax.device_put(pack.fs),
+                dict(
+                    nslots=nslots, nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic
+                ),
             )
-        batches.append(db)
-
-    dev_batches = [jax.device_put(b.astype(np.int32)) for b in batches]
+        )
     prof_dev = jax.device_put(profile)
+    jax.block_until_ready([prof_dev] + [p[0] for p in packs])
 
-    # Warm up compilation for every distinct shape.
-    warm = [engine(prof_dev, b, go, ge) for b in dev_batches]
-    jax.block_until_ready(warm)
-    del warm
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chain(reps):
+        def body(i, acc):
+            # Index-perturbed profile: keeps every chained call distinct so
+            # XLA cannot hoist the loop-invariant kernel call.
+            p = prof_dev.at[0, 0].add((i % 4).astype(jnp.int32))
+            for streams_dev, fs_dev, kw in packs:
+                out = sw_pallas_stream(p, streams_dev, fs_dev, go, ge, **kw)
+                acc = acc + out[0, 0]
+            return acc
 
-    reps = 3
-    times = []
-    for _ in range(reps):
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int32))
+
+    np.asarray(chain(1))  # compile + warm
+    np.asarray(chain(3))
+
+    def run(reps: int) -> float:
         t0 = time.perf_counter()
-        outs = [engine(prof_dev, b, go, ge) for b in dev_batches]
-        jax.block_until_ready(outs)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+        np.asarray(chain(reps))
+        return time.perf_counter() - t0
 
-    cells = QUERY_LEN * total_residues
-    gcups = cells / dt / 1e9
+    t1 = min(run(1) for _ in range(3))
+    t3 = min(run(3) for _ in range(3))
+    dt = max((t3 - t1) / 2, 1e-9)
+
+    gcups = real_cells / dt / 1e9
+    _emit(gcups, dt, n, real_cells, backend, padded_cells)
+
+
+def _emit(gcups, dt, n, real_cells, backend, padded_cells) -> None:
     entries_per_s = n / dt
-    # Scale the baseline to this workload size (it is rate-based, so the
-    # comparison is entries/s vs entries/s on the same length distribution).
-    vs_baseline = entries_per_s / BASELINE_ENTRIES_PER_S
-
     print(
         json.dumps(
             {
                 "metric": "swissprot_scale_search_gcups",
-                "value": round(gcups, 2),
+                "value": round(gcups, 1),
                 "unit": "GCUPS",
-                "vs_baseline": round(vs_baseline, 3),
+                "vs_baseline": round(gcups / BASELINE_GCUPS, 2),
                 "detail": {
                     "backend": backend,
                     "entries": n,
                     "entries_per_s": round(entries_per_s),
                     "kernel_time_s": round(dt, 4),
                     "query_len": QUERY_LEN,
-                    "db_residues": total_residues,
-                    "baseline_entries_per_s": BASELINE_ENTRIES_PER_S,
+                    "real_cells": real_cells,
+                    "padding_overhead": round(padded_cells / real_cells, 3),
+                    "baseline_gcups": BASELINE_GCUPS,
+                    "baseline_derivation": "BASELINE.md 'Derived baseline GCUPS'",
+                    "published_best_entries_per_s_at_inferred_L17": BASELINE_ENTRIES_PER_S,
                 },
             }
         )

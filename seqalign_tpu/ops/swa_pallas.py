@@ -588,52 +588,52 @@ def sw_pallas_multi(
 # VMEM budget model: 2 row buffers (NW * LQP * 4 KB each) + S buffer
 # (NW * JB * IC * 4 KB) + state/db/pipeline overhead must stay under ~16 MB.
 _VMEM_BUDGET = 13.0 * 2**20
-# Mosaic crashes when the unrolled loop body is too large; nw*jb*ui beyond
-# this limit is rejected (measured on jax 0.9 / libtpu 0.0.34).
-_BODY_LIMIT = 128
 MAX_QUERY_ROWS = 1024  # beyond this, route to the XLA engine
+
+# (nw, jb, ui) shapes validated + ranked on v5e hardware (tools/tpu_check
+# --sweep; docs/DESIGN.md measurement log). Short queries amortize row
+# padding and per-group state stores better with (jb=8, ui=2); longer
+# queries peak at (jb=4, ui=8) with as many windows as VMEM allows.
+# Combos outside these lists have hit Mosaic compiler crashes on this
+# jax/libtpu version -- stick to validated shapes.
+_SHAPES_SHORT = [
+    (8, 8, 2), (8, 4, 4), (4, 8, 2), (2, 8, 2), (2, 4, 4), (1, 8, 2),
+    (1, 4, 2), (1, 2, 1),
+]
+_SHAPES_LONG = [
+    (10, 4, 8), (8, 4, 8), (6, 4, 8), (4, 8, 2), (4, 4, 8), (2, 4, 8),
+    (2, 8, 2), (1, 4, 8), (1, 4, 4), (1, 2, 1),
+]
 
 
 def choose_config(
     lq: int,
     nw: int | None = None,
+    reserve: int = 0,
 ) -> KernelConfig:
     """Pick (windows, j-block, row-unroll, S-chunk rows) for a query length.
 
     More interleaved windows = more independent DP chains = higher VPU
-    utilization (the kernel is latency-bound; measured chain scaling on v5e
-    saturates around 8). jb and ui trade register-chain length against the
-    Mosaic unrolled-body ceiling (nw * jb * ui <= _BODY_LIMIT). ui also sets
-    query-row padding (lq rounds up to a multiple of ui), which is pure
-    waste for short queries. The S chunk is sized to the whole padded query
-    when VMEM allows.
+    utilization (the DP is a serial max/add chain; measured VPU chain
+    scaling on v5e saturates around 8-10 interleaved chains). ``reserve``
+    subtracts caller VMEM (e.g. the stream kernel's output slots) from the
+    budget. The S chunk is sized to whatever budget remains (measured:
+    chunk size matters little; window count dominates).
     """
-    best = None
-    cand_nw = [nw] if nw is not None else [8, 6, 4, 2, 1]
-    for nw_c in cand_nw:
-        for jb in (4, 8, 2):
-            for ui in (4, 8, 2, 1):
-                if nw_c * jb * ui > _BODY_LIMIT:
-                    continue
-                lqp = -(-lq // ui) * ui
-                rows = 2 * lqp * nw_c * WINDOW_LANES * 4
-                state = (2 * jb + 1) * nw_c * WINDOW_LANES * 4
-                # largest ic (multiple of ui) fitting the leftover budget
-                ic_budget = (_VMEM_BUDGET - rows - state) / (
-                    nw_c * jb * WINDOW_LANES * 4
-                )
-                ic = min(lqp, int(ic_budget // ui) * ui)
-                if ic < ui:
-                    continue
-                waste = lqp / max(lq, 1)
-                key = (nw_c, -waste, jb * ui, ic)
-                if best is None or key > best[0]:
-                    best = (key, KernelConfig(nw=nw_c, jb=jb, ui=ui, ic=ic))
-        if best is not None and (nw is not None or best[1].nw == nw_c):
-            break
-    if best is None:
-        return KernelConfig(nw=1, jb=2, ui=1, ic=1)
-    return best[1]
+    shapes = _SHAPES_SHORT if lq <= 48 else _SHAPES_LONG
+    budget = _VMEM_BUDGET - reserve
+    for nw_c, jb, ui in shapes:
+        if nw is not None and nw_c != nw:
+            continue
+        lqp = -(-lq // ui) * ui
+        rows = 2 * lqp * nw_c * WINDOW_LANES * 4
+        state = (2 * jb + 1) * nw_c * WINDOW_LANES * 4
+        # largest ic (multiple of ui) fitting the leftover budget
+        ic_budget = (budget - rows - state) / (nw_c * jb * WINDOW_LANES * 4)
+        ic = min(lqp, int(ic_budget // ui) * ui)
+        if ic >= ui:
+            return KernelConfig(nw=nw_c, jb=jb, ui=ui, ic=ic)
+    return KernelConfig(nw=nw or 1, jb=2, ui=1, ic=1)
 
 
 def choose_windows(lq: int) -> int:

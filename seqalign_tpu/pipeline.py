@@ -127,12 +127,7 @@ def search_database(
     # batches (window-major lane order == linear id order), so no device-side
     # transpose is ever needed.
     if eng_name == "pallas":
-        from .ops.swa_pallas import (
-            MAX_QUERY_ROWS,
-            WINDOW_LANES,
-            choose_windows,
-            supported_scoring,
-        )
+        from .ops.swa_pallas import MAX_QUERY_ROWS, supported_scoring
 
         if len(query_idx) > MAX_QUERY_ROWS or not supported_scoring(
             profile, go, ge
@@ -141,35 +136,18 @@ def search_database(
             # system outside the G-form kernel's envelope (positive
             # gap-open, |scores| beyond bf16-exact range): XLA engine.
             eng_name = "wavefront"
-            nw, win = 1, 1024
         else:
-            win = WINDOW_LANES
-            nw = (
-                max(1, eng_lanes // win)
-                if lanes is not None
-                else choose_windows(len(query_idx))
-            )
-    else:
-        nw, win = 1, eng_lanes
+            return _stream_search(profile, db, go, ge, order, lanes)
+
+    win = eng_lanes
     engine_fn = get_engine(eng_name)
 
     groups: list[np.ndarray] = []
     dev_dbs = []
-    for start in range(0, n, nw * win):
-        ids = order[start : start + nw * win]
+    for start in range(0, n, win):
+        ids = order[start : start + win]
         lb_pad = lattice_round_up(int(lengths[ids].max(initial=1)))
-        if eng_name == "pallas":
-            nw_g = max(1, -(-len(ids) // win))
-            if nw_g not in (1, nw):
-                nw_g = nw  # keep compiled shapes on the {1, NW} lattice
-            batch = np.stack(
-                [
-                    pack_batch(db, ids[w * win : (w + 1) * win], win, lb_pad)
-                    for w in range(nw_g)
-                ]
-            )
-        else:
-            batch = pack_batch(db, ids, win, lb_pad)
+        batch = pack_batch(db, ids, win, lb_pad)
         groups.append(ids)
         dev_dbs.append(jax.device_put(batch.astype(np.int32)))
     prof_dev = jax.device_put(profile)
@@ -182,6 +160,78 @@ def search_database(
 
     for ids, out in zip(groups, outs):
         scores[ids] = np.asarray(out)[: len(ids)]
+    return scores, kernel_time
+
+
+# Output slots per stream dispatch: bounds the kernel's VMEM-resident output
+# (slots x 4 KB) and lets compiled shapes be reused across databases.
+MAX_STREAM_SLOTS = 512
+
+
+def _stream_search(
+    profile: np.ndarray,
+    db: EncodedDatabase,
+    go: int,
+    ge: int,
+    order: np.ndarray,
+    lanes: int | None,
+) -> tuple[np.ndarray, float]:
+    """Whole-database search via the single-dispatch segmented stream kernel.
+
+    The TPU answer to the reference's OpenMP dispatch loop
+    (``src/alignment_cmdline.c:501-527``): the database becomes NW balanced
+    window streams scored in one device launch per ~512k records — no
+    per-batch launch latency, no per-shape recompiles. Timing covers engine
+    dispatch + device execution + result fetch (packing and host->device
+    transfer excluded, the reference's own boundary).
+    """
+    import jax
+
+    from .ops.swa_pallas import WINDOW_LANES, choose_config, sw_pallas_stream
+    from .utils.packing import pack_streams
+
+    lq = int(profile.shape[0])
+    n = db.n
+    win = WINDOW_LANES
+    scores = np.zeros(n, dtype=np.int32)
+    kernel_time = 0.0
+    per_chunk = MAX_STREAM_SLOTS * win
+    for start in range(0, n, per_chunk):
+        chunk = order[start : start + per_chunk]
+        nslots = -(-len(chunk) // win)
+        # More windows than segments would score pure padding.
+        nw_cap = max(1, min(nslots, 16)) if lanes is None else max(
+            1, lanes // win
+        )
+        cfg = choose_config(lq, reserve=nslots * 4096 + (1 << 20))
+        nw = min(cfg.nw, nw_cap)
+        if nw != cfg.nw:
+            cfg = choose_config(lq, nw=nw, reserve=nslots * 4096 + (1 << 20))
+        pack = pack_streams(db, chunk, nw, win=win, jb=cfg.jb, grain=32)
+        streams_dev = jax.device_put(pack.streams)
+        fs_dev = jax.device_put(pack.fs)
+        prof_dev = jax.device_put(np.asarray(profile))
+        jax.block_until_ready([streams_dev, fs_dev, prof_dev])
+
+        t0 = time.perf_counter()
+        out = np.asarray(
+            sw_pallas_stream(
+                prof_dev,
+                streams_dev,
+                fs_dev,
+                go,
+                ge,
+                nslots=nslots,
+                nw=nw,
+                jb=cfg.jb,
+                ui=cfg.ui,
+                ic=cfg.ic,
+            )
+        )
+        kernel_time += time.perf_counter() - t0
+
+        for slot, ids in enumerate(pack.slot_ids):
+            scores[ids] = out[slot][: len(ids)]
     return scores, kernel_time
 
 

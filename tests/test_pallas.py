@@ -27,18 +27,23 @@ class TestChooseConfig:
 
     def test_bounds(self):
         for lq in (8, 17, 144, 333, 1024):
-            cfg = choose_config(lq)
-            lqp = -(-lq // cfg.ui) * cfg.ui
-            assert 1 <= cfg.nw
-            assert cfg.nw * cfg.jb * cfg.ui <= 128
-            assert cfg.ui <= cfg.ic <= lqp and cfg.ic % cfg.ui == 0
-            # VMEM footprint of the chosen config stays under budget
-            vmem = (
-                2 * lqp * cfg.nw * 4096
-                + cfg.nw * cfg.jb * cfg.ic * 4096
-                + (2 * cfg.jb + 1) * cfg.nw * 4096
-            )
-            assert vmem <= 13.5 * 2**20
+            for reserve in (0, 2 << 20):
+                cfg = choose_config(lq, reserve=reserve)
+                lqp = -(-lq // cfg.ui) * cfg.ui
+                assert 1 <= cfg.nw
+                assert cfg.ui <= cfg.ic <= lqp and cfg.ic % cfg.ui == 0
+                # VMEM footprint of the chosen config stays under budget
+                vmem = (
+                    2 * lqp * cfg.nw * 4096
+                    + cfg.nw * cfg.jb * cfg.ic * 4096
+                    + (2 * cfg.jb + 1) * cfg.nw * 4096
+                )
+                assert vmem <= 13.5 * 2**20 - reserve
+
+    def test_fixed_nw_honored(self):
+        for lq in (17, 144):
+            for nw in (1, 2):
+                assert choose_config(lq, nw=nw).nw == nw
 
 
 @pytest.mark.slow

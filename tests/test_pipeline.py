@@ -316,3 +316,31 @@ class TestCli:
             tmp_path,
         )
         assert code == 1 and "Couldn't read" in err
+
+
+class TestStreamSearch:
+    """The TPU stream path, exercised on CPU via Pallas interpret mode."""
+
+    def test_matches_wavefront(self, rng, blosum62, monkeypatch):
+        import functools
+
+        import seqalign_tpu.ops.swa_pallas as sp
+        from seqalign_tpu.models import encode
+        from seqalign_tpu.pipeline import search_encoded
+
+        monkeypatch.setattr(
+            sp,
+            "sw_pallas_stream",
+            functools.partial(sp.sw_pallas_stream, interpret=True),
+        )
+        from conftest import random_protein
+
+        sc = blosum62
+        q = sc.query_indices(random_protein(rng, 13))
+        encoded = [
+            encode(random_protein(rng, int(rng.integers(1, 20))))
+            for _ in range(2500)
+        ]
+        got, _ = search_encoded(q, encoded, sc, engine="pallas")
+        want, _ = search_encoded(q, encoded, sc, engine="wavefront")
+        np.testing.assert_array_equal(got, want)

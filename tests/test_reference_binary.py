@@ -1,0 +1,92 @@
+"""Differential test against the ACTUAL reference implementation.
+
+Builds the reference's AVX2 kernel (read-only sources at /root/reference)
+with our standalone driver and checks its scores equal our engines' on a
+shared workload — the strongest parity evidence available (the reference
+repo's own oracle binary fixture is x86-prebuilt and its FASTA submodules
+are absent; SURVEY.md §4). Skipped when the reference snapshot or a C
+toolchain is unavailable.
+"""
+
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference/src")
+REPO = Path(__file__).resolve().parents[1]
+
+pytestmark = pytest.mark.skipif(
+    not (REF / "alignment.c").exists() or shutil.which("gcc") is None,
+    reason="reference sources or gcc unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_binary(tmp_path_factory):
+    d = tmp_path_factory.mktemp("refbench")
+    exe = d / "refbench"
+    subprocess.run(
+        [
+            "gcc", "-O3", "-march=native", "-mavx2", "-fopenmp",
+            f"-I{REF}",
+            "-o", str(exe),
+            str(REPO / "tools/refbench/driver.c"),
+            str(REF / "alignment.c"),
+            str(REF / "alignment_scoring.c"),
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return exe
+
+
+def test_scores_match_reference_binary(ref_binary, tmp_path):
+    sys.path.insert(0, str(REPO / "tools/refbench"))
+    import gen_workload
+
+    db_bin = tmp_path / "db.bin"
+    mat = tmp_path / "pam250.txt"
+    n = 64  # 4 full 16-lane batches; driver prints the first batch's scores
+    gen_workload.write_workload(str(db_bin), n=n, query_len=37, seed=7)
+    gen_workload.write_matrix(str(mat))
+
+    out = subprocess.run(
+        [str(ref_binary), str(db_bin), str(mat), "1"],
+        check=True,
+        capture_output=True,
+        text=True,
+        env={"OMP_NUM_THREADS": "1", "PATH": "/usr/bin:/bin"},
+    ).stdout
+    ref_scores = [
+        int(line.split("=")[1])
+        for line in out.splitlines()
+        if line.startswith("score[")
+    ]
+    assert len(ref_scores) == 16
+
+    # Recompute with our oracle on the identical binary workload.
+    from seqalign_tpu.models import ScoringModel, load_builtin
+    from seqalign_tpu.ops.oracle import sw_score_single
+
+    sc = load_builtin(
+        "PAM250",
+        ScoringModel(gap_open=-2, gap_extend=-1, use_match_mismatch=False),
+    )
+    with open(db_bin, "rb") as f:
+        nn = int(np.frombuffer(f.read(8), np.int64)[0])
+        qlen = int(np.frombuffer(f.read(8), np.int64)[0])
+        q = np.frombuffer(f.read(qlen), np.int8).astype(np.int32)
+        lens = np.frombuffer(f.read(8 * nn), np.int64)
+        seqs = [
+            np.frombuffer(f.read(int(L)), np.int8).astype(np.int32)
+            for L in lens
+        ]
+    ours = [
+        sw_score_single(q, seqs[k], sc.table, sc.gap_open, sc.gap_extend)
+        for k in range(16)
+    ]
+    assert ours == ref_scores
