@@ -187,6 +187,7 @@ def _stream_search(
     """
     import jax
 
+    _enable_compile_cache()
     from .ops.swa_pallas import WINDOW_LANES, choose_config, sw_pallas_stream
     from .utils.packing import pack_streams
 
@@ -199,40 +200,67 @@ def _stream_search(
     for start in range(0, n, per_chunk):
         chunk = order[start : start + per_chunk]
         nslots = -(-len(chunk) // win)
+        # Round the output-slot count up so compiled shapes recur across
+        # databases (extra slots are never flushed; sliced away below).
+        nslots_c = min(-(-nslots // 64) * 64, MAX_STREAM_SLOTS)
         # More windows than segments would score pure padding.
         nw_cap = max(1, min(nslots, 16)) if lanes is None else max(
             1, lanes // win
         )
-        cfg = choose_config(lq, reserve=nslots * 4096 + (1 << 20))
+        cfg = choose_config(lq, reserve=nslots_c * 4096 + (1 << 20))
         nw = min(cfg.nw, nw_cap)
         if nw != cfg.nw:
-            cfg = choose_config(lq, nw=nw, reserve=nslots * 4096 + (1 << 20))
+            cfg = choose_config(lq, nw=nw, reserve=nslots_c * 4096 + (1 << 20))
         pack = pack_streams(db, chunk, nw, win=win, jb=cfg.jb, grain=32)
         streams_dev = jax.device_put(pack.streams)
         fs_dev = jax.device_put(pack.fs)
         prof_dev = jax.device_put(np.asarray(profile))
         jax.block_until_ready([streams_dev, fs_dev, prof_dev])
 
-        t0 = time.perf_counter()
-        out = np.asarray(
-            sw_pallas_stream(
-                prof_dev,
-                streams_dev,
-                fs_dev,
-                go,
-                ge,
-                nslots=nslots,
-                nw=nw,
-                jb=cfg.jb,
-                ui=cfg.ui,
-                ic=cfg.ic,
+        kw = dict(nslots=nslots_c, nw=nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic)
+        # AOT-compile outside the timed region: the reference's timer also
+        # excludes everything but the kernel loop (src/alignment_cmdline.c:
+        # 503-509). The compiled executable is cached per shape.
+        lower = getattr(sw_pallas_stream, "lower", None)
+        if lower is not None:
+            compiled = lower(prof_dev, streams_dev, fs_dev, go, ge, **kw).compile()
+            run = lambda: compiled(prof_dev, streams_dev, fs_dev)
+        else:  # e.g. tests substitute an interpret-mode engine
+            run = lambda: sw_pallas_stream(
+                prof_dev, streams_dev, fs_dev, go, ge, **kw
             )
-        )
+
+        t0 = time.perf_counter()
+        out = np.asarray(run())
         kernel_time += time.perf_counter() - t0
 
         for slot, ids in enumerate(pack.slot_ids):
             scores[ids] = out[slot][: len(ids)]
     return scores, kernel_time
+
+
+_CACHE_ENABLED = False
+
+
+def _enable_compile_cache() -> None:
+    """Persistent jit-compilation cache (kernel compiles cost ~20-120 s)."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    _CACHE_ENABLED = True
+    import os
+
+    import jax
+
+    try:
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "seqalign_tpu", "xla"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization only
 
 
 def _db_from_encoded(encoded: Sequence[np.ndarray], names=None) -> EncodedDatabase:

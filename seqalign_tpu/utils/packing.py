@@ -29,7 +29,7 @@ from ..models.alphabet import PAD_INDEX
 # Geometric length lattice: multiples of 8 up to 64, then ~1.25x steps.
 _LATTICE: list[int] = [8, 16, 24, 32, 40, 48, 56, 64]
 _v = 64
-while _v < 1 << 22:
+while _v < 1 << 26:
     _v = int(np.ceil(_v * 1.25 / 8) * 8)
     _LATTICE.append(_v)
 
@@ -110,6 +110,7 @@ def pack_streams(
     win: int = 1024,
     jb: int = 4,
     grain: int = 32,
+    target_len: int | None = None,
 ) -> StreamPack:
     """Pack a sorted database into NW balanced segmented window streams.
 
@@ -126,6 +127,10 @@ def pack_streams(
     near-uniform within a group) become segments; segments are dealt to the
     currently-shortest stream (greedy balancing — they arrive in descending
     length order, so streams end within one segment of each other).
+    ``target_len`` pads every stream to a fixed length (must be a multiple
+    of ``grain`` and >= the natural length) so compiled kernel shapes can be
+    reused across databases; tail padding is '*' continuation of the final
+    segment, which never changes its score.
     """
     from .native_io import pack_batch
 
@@ -147,6 +152,16 @@ def pack_streams(
         placement[w].append(s)
         stream_len[w] += slot_lb[s]
     L = max(max(stream_len), grain)
+    if target_len is not None:
+        if target_len < L or target_len % jb:
+            raise ValueError(
+                f"{target_len=} must be a jb multiple >= natural length {L}"
+            )
+        L = target_len
+    else:
+        # Round to the compile-shape lattice so kernel shapes are reused
+        # across databases (multiples of 8; every jb divides 8).
+        L = lattice_round_up(L)
     streams = np.full((nw, L, win), PAD_INDEX, dtype=np.int8)
     fs = np.zeros((L // jb, nw, 2), dtype=np.int32)
     for w in range(nw):
