@@ -105,7 +105,7 @@ def _run_block(
     row_gg,
     row_e,
     s_buf,
-    best_ref,
+    best_ref,  # (NW, NQ, SL, LANES) f32 running best per query
     state_ref,
     *,
     lqp: int,
@@ -117,12 +117,26 @@ def _run_block(
     nc: int,
     go: int,
     ge: int,
+    nq: int = 1,
+    lqe: int | None = None,
 ):
     """Advance the DP over one j-block (JB db positions x all query rows).
 
     Shared by the fixed-batch and segmented-stream kernels. Reads/writes the
-    rolling row buffers and the running best in scratch.
+    rolling row buffers and the running bests in scratch.
+
+    Multi-query batching: the row dimension holds ``nq`` queries of ``lqe``
+    padded rows each (``lqp = nq * lqe``; ``lqe % ui == 0`` so query
+    boundaries always land on unrolled-group starts). Each query's DP is
+    fully independent: at a boundary group the left/diagonal chain resets to
+    the column boundary, and each group folds its max into that query's
+    ``best_ref`` slot. This amortizes the per-db-position one-hot build and
+    the S-matmul across queries — the big win for short queries — and is
+    the capability the reference lacks entirely (one query per run,
+    ``src/alignment_cmdline.c:355-360``).
     """
+    if lqe is None:
+        lqe = lqp
     go_f = jnp.float32(go)
     ge_f = jnp.float32(ge)
     zero = jnp.float32(0)
@@ -132,11 +146,15 @@ def _run_block(
     # src/alignment.c:77-85, 91-97).
     gg0 = jnp.full((sl, LANES), go_f, jnp.float32)
     f0 = jnp.zeros((sl, LANES), jnp.float32)
-    for w in range(nw):
-        for t in range(jb):
-            state_ref[w, 2 * t] = gg0
-            state_ref[w, 2 * t + 1] = f0
-        state_ref[w, 2 * jb] = gg0
+
+    def reset_chain():
+        for w in range(nw):
+            for t in range(jb):
+                state_ref[w, 2 * t] = gg0
+                state_ref[w, 2 * t + 1] = f0
+            state_ref[w, 2 * jb] = gg0
+
+    reset_chain()
 
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (ALPHA, sl, LANES), 0)
     # One-hot encodings are chunk-invariant: build once per grid step.
@@ -146,14 +164,22 @@ def _run_block(
     ]
 
     def make_body(c):
-        def body(g, best):
-            best = list(best)
+        def body(g, carry):
             base = c * ic + g * ui
+            if nq > 1:
+                qidx = base // lqe
+                # A new query starts here: cut the left/diagonal chain.
+                @pl.when(jnp.logical_and(base % lqe == 0, base > 0))
+                def _cut():
+                    reset_chain()
+            else:
+                qidx = 0
             lgg = [[state_ref[w, 2 * t] for t in range(jb)] for w in range(nw)]
             lf = [
                 [state_ref[w, 2 * t + 1] for t in range(jb)] for w in range(nw)
             ]
             dt = [state_ref[w, 2 * jb] for w in range(nw)]
+            gmax = [zero for _ in range(nw)]
             for u in range(ui):
                 i = base + u
                 gg_prev = [row_gg[w, i] for w in range(nw)]
@@ -176,7 +202,7 @@ def _run_block(
                     t1 = [jnp.maximum(hp[w], e[w]) for w in range(nw)]
                     t2 = [jnp.maximum(f[w], zero) for w in range(nw)]
                     gv = [jnp.maximum(t1[w], t2[w]) for w in range(nw)]
-                    best = [jnp.maximum(best[w], gv[w]) for w in range(nw)]
+                    gmax = [jnp.maximum(gmax[w], gv[w]) for w in range(nw)]
                     gg = [gv[w] + go_f for w in range(nw)]
                     for w in range(nw):
                         dt[w] = lgg[w][t]  # diagonal for t+1: Gg(t, i-1)
@@ -193,11 +219,11 @@ def _run_block(
                     state_ref[w, 2 * t] = lgg[w][t]
                     state_ref[w, 2 * t + 1] = lf[w][t]
                 state_ref[w, 2 * jb] = dt[w]
-            return best
+                best_ref[w, qidx] = jnp.maximum(best_ref[w, qidx], gmax[w])
+            return carry
 
         return body
 
-    best = [best_ref[w] for w in range(nw)]
     for c in range(nc):
         # Substitution scores for query rows [c*IC, c*IC+IC) x this j-block:
         # one-hot matmul on the MXU (exact; see module docstring).
@@ -211,19 +237,17 @@ def _run_block(
                     preferred_element_type=jnp.float32,
                 )  # (IC, SL, LANES) f32
         groups = min(ic, lqp - c * ic) // ui
-        best = jax.lax.fori_loop(0, groups, make_body(c), best)
-    for w in range(nw):
-        best_ref[w] = best[w]
+        jax.lax.fori_loop(0, groups, make_body(c), jnp.zeros((), jnp.int32))
 
 
 def _kernel(
     prof_ref,  # (NC*IC, ALPHA) bf16 biased query profile (padded rows zero)
     db_ref,  # (NW, 1, JB, SL, LANES) int32 db chars for this grid step
-    out_ref,  # (NW, SL, LANES) int32 best scores
+    out_ref,  # (NW, NQ, SL, LANES) int32 best scores
     row_gg,  # scratch (NW, LQP, SL, LANES) f32: Gg = G+go at (prev t, i)
     row_e,  # scratch (NW, LQP, SL, LANES) f32: E at (prev t, i)
     s_buf,  # scratch (NW, JB, IC, SL, LANES) f32 biased substitution scores
-    best_ref,  # scratch (NW, SL, LANES) f32
+    best_ref,  # scratch (NW, NQ, SL, LANES) f32
     state_ref,  # scratch (NW, 2*JB+1, SL, LANES) f32 left/diag chain
     **params,
 ):
@@ -254,16 +278,17 @@ def _kernel_stream(
     #          [w,1] final flush-slot+1 (only nonzero on the last block)
     prof_ref,  # (NC*IC, ALPHA) bf16 biased query profile
     db_ref,  # (NW, 1, JB, SL, LANES) int32 stream chars for this grid step
-    out_ref,  # (NSLOTS, SL, LANES) int32 per-segment best scores
+    out_ref,  # (NSLOTS, NQ, SL, LANES) int32 per-segment best scores
     row_gg,
     row_e,
     s_buf,
-    best_ref,
+    best_ref,  # (NW, NQ, SL, LANES) f32
     state_ref,
     *,
     lqp: int,
     sl: int,
     nw: int,
+    nq: int = 1,
     **params,
 ):
     """Segmented-stream variant: each window carries its own concatenation of
@@ -290,13 +315,13 @@ def _kernel_stream(
         @pl.when(slot > 0)
         def _flush(w=w, slot=slot):
             out_ref[slot - 1] = best_ref[w].astype(jnp.int32)
-            best_ref[w] = jnp.zeros((sl, LANES), jnp.float32)
+            best_ref[w] = jnp.zeros((nq, sl, LANES), jnp.float32)
             row_gg[w] = jnp.full((lqp, sl, LANES), go_f, jnp.float32)
             row_e[w] = jnp.zeros((lqp, sl, LANES), jnp.float32)
 
     _run_block(
         prof_ref, db_ref[:, 0], row_gg, row_e, s_buf, best_ref, state_ref,
-        lqp=lqp, sl=sl, nw=nw, **params,
+        lqp=lqp, sl=sl, nw=nw, nq=nq, **params,
     )
 
     @pl.when(j == nj - 1)
@@ -336,10 +361,13 @@ def sw_pallas_windows(
     ui: int = DEFAULT_UI,
     interpret: bool = False,
 ) -> jax.Array:
-    """Score one query against NW stacked lane-batch windows.
+    """Score one or more queries against NW stacked lane-batch windows.
 
     Args:
-      profile: (Lq, 32) int query profile ``P[i, c] = table[q_i, c]``.
+      profile: (Lq, 32) int query profile ``P[i, c] = table[q_i, c]``, or
+        (NQ, Lq, 32) for a batch of NQ equal-padded queries (multi-query
+        batching; pad shorter queries' profile rows with zeros — padding
+        rows never change scores).
       db_windows: (NW, Lb, SL*128) int database batch, window-major,
         position-major within a window, '*'-padded; ``Lb % jb == 0``.
       go: total gap-open penalty (gap_open + gap_extend), negative.
@@ -347,14 +375,17 @@ def sw_pallas_windows(
         the reference's invariant; the G-form recurrence depends on it.
 
     Returns:
-      (NW * SL * 128,) int32 best scores, window-major lane order.
+      (NW * SL * 128,) int32 best scores, window-major lane order — or
+      (NQ, NW * SL * 128) for a 3-D profile.
 
-    The query is internally padded to a multiple of ``ui`` with zero-bias
+    Queries are internally padded to a multiple of ``ui`` with zero-bias
     rows (H' = Gg_d <= G_d <= best there), so scores are unchanged.
     """
     if ge < go:
         raise ValueError(f"G-form kernel requires ge >= go (got {go=}, {ge=})")
-    lq = profile.shape[0]
+    multi = profile.ndim == 3
+    nq = profile.shape[0] if multi else 1
+    lq = profile.shape[-2]
     nw_in, lb, b = db_windows.shape
     if nw_in != nw or b != sl * LANES:
         raise ValueError(
@@ -362,7 +393,8 @@ def sw_pallas_windows(
         )
     if lb % jb != 0:
         raise ValueError(f"db length {lb} not a multiple of jb={jb}")
-    lqp = -(-lq // ui) * ui
+    lqe = -(-lq // ui) * ui
+    lqp = nq * lqe
     if ic is None:
         ic = lqp
     ic = min(-(-ic // ui) * ui, lqp)
@@ -370,14 +402,20 @@ def sw_pallas_windows(
     nj = lb // jb
 
     # Biased profile P' = P - go, exact in bf16 (|P'| <= 256 asserted by the
-    # dispatcher; see supported_scoring).
+    # dispatcher; see supported_scoring). Each query pads to lqe rows of
+    # zeros, then the whole stack pads to the chunk lattice.
     prof = (profile.astype(jnp.float32) - go).astype(jnp.bfloat16)
-    prof = jnp.pad(prof, ((0, nc * ic - lq), (0, 0)))
+    if multi:
+        prof = jnp.pad(prof, ((0, 0), (0, lqe - lq), (0, 0)))
+        prof = prof.reshape(nq * lqe, ALPHA)
+    else:
+        prof = jnp.pad(prof, ((0, lqe - lq), (0, 0)))
+    prof = jnp.pad(prof, ((0, nc * ic - lqp), (0, 0)))
     dbb = db_windows.astype(jnp.int32).reshape(nw, nj, jb, sl, LANES)
 
     kernel = functools.partial(
         _kernel, lqp=lqp, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui, nc=nc,
-        go=int(go), ge=int(ge),
+        go=int(go), ge=int(ge), nq=nq, lqe=lqe,
     )
     out = pl.pallas_call(
         kernel,
@@ -393,26 +431,30 @@ def sw_pallas_windows(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (nw, sl, LANES), lambda j: (0, 0, 0), memory_space=pltpu.VMEM
+            (nw, nq, sl, LANES),
+            lambda j: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((nw, sl, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nw, nq, sl, LANES), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, jb, ic, sl, LANES), jnp.float32),
-            pltpu.VMEM((nw, sl, LANES), jnp.float32),
+            pltpu.VMEM((nw, nq, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, 2 * jb + 1, sl, LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=10 * lq * lb * nw * sl * LANES,
+            flops=10 * lq * lb * nw * sl * LANES * nq,
             bytes_accessed=lb * nw * sl * LANES * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(prof, dbb)
+    if multi:
+        return out.transpose(1, 0, 2, 3).reshape(nq, nw * sl * LANES)
     return out.reshape(nw * sl * LANES)
 
 
@@ -437,10 +479,11 @@ def sw_pallas_stream(
     ui: int = DEFAULT_UI,
     interpret: bool = False,
 ) -> jax.Array:
-    """Score one query against a whole segmented database in one dispatch.
+    """Score one or more queries against a segmented database in one dispatch.
 
     Args:
-      profile: (Lq, 32) int query profile.
+      profile: (Lq, 32) int query profile, or (NQ, Lq, 32) for NQ
+        equal-padded queries (multi-query batching).
       streams: (NW, L, SL*128) int database streams: each window is a
         concatenation of '*'-padded lane-group segments (pack_streams).
       fs: (L//jb, NW, 2) int32 segment table: ``fs[j,w,0]`` = 1+output-slot
@@ -450,11 +493,14 @@ def sw_pallas_stream(
       nslots: number of output slots (segments across all windows).
 
     Returns:
-      (nslots, SL*128) int32 best scores, one row per segment, lane-major.
+      (nslots, SL*128) int32 best scores, one row per segment, lane-major —
+      or (nslots, NQ, SL*128) for a 3-D profile.
     """
     if ge < go:
         raise ValueError(f"G-form kernel requires ge >= go (got {go=}, {ge=})")
-    lq = profile.shape[0]
+    multi = profile.ndim == 3
+    nq = profile.shape[0] if multi else 1
+    lq = profile.shape[-2]
     nw_in, lb, b = streams.shape
     if nw_in != nw or b != sl * LANES:
         raise ValueError(
@@ -465,19 +511,25 @@ def sw_pallas_stream(
     nj = lb // jb
     if fs.shape != (nj, nw, 2):
         raise ValueError(f"fs shape {fs.shape} != {(nj, nw, 2)}")
-    lqp = -(-lq // ui) * ui
+    lqe = -(-lq // ui) * ui
+    lqp = nq * lqe
     if ic is None:
         ic = lqp
     ic = min(-(-ic // ui) * ui, lqp)
     nc = -(-lqp // ic)
 
     prof = (profile.astype(jnp.float32) - go).astype(jnp.bfloat16)
-    prof = jnp.pad(prof, ((0, nc * ic - lq), (0, 0)))
+    if multi:
+        prof = jnp.pad(prof, ((0, 0), (0, lqe - lq), (0, 0)))
+        prof = prof.reshape(nq * lqe, ALPHA)
+    else:
+        prof = jnp.pad(prof, ((0, lqe - lq), (0, 0)))
+    prof = jnp.pad(prof, ((0, nc * ic - lqp), (0, 0)))
     dbb = streams.astype(jnp.int32).reshape(nw, nj, jb, sl, LANES)
 
     kernel = functools.partial(
         _kernel_stream, lqp=lqp, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui, nc=nc,
-        go=int(go), ge=int(ge),
+        go=int(go), ge=int(ge), nq=nq, lqe=lqe,
     )
     out = pl.pallas_call(
         kernel,
@@ -496,14 +548,16 @@ def sw_pallas_stream(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (nslots, sl, LANES), lambda j: (0, 0, 0), memory_space=pltpu.VMEM
+            (nslots, nq, sl, LANES),
+            lambda j: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((nslots, sl, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nslots, nq, sl, LANES), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, jb, ic, sl, LANES), jnp.float32),
-            pltpu.VMEM((nw, sl, LANES), jnp.float32),
+            pltpu.VMEM((nw, nq, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, 2 * jb + 1, sl, LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -516,6 +570,8 @@ def sw_pallas_stream(
         ),
         interpret=interpret,
     )(fs.astype(jnp.int32), prof, dbb)
+    if multi:
+        return out.reshape(nslots, nq, sl * LANES)
     return out.reshape(nslots, sl * LANES)
 
 
@@ -587,7 +643,7 @@ def sw_pallas_multi(
 
 # VMEM budget model: 2 row buffers (NW * LQP * 4 KB each) + S buffer
 # (NW * JB * IC * 4 KB) + state/db/pipeline overhead must stay under ~16 MB.
-_VMEM_BUDGET = 13.0 * 2**20
+_VMEM_BUDGET = 14.2 * 2**20
 MAX_QUERY_ROWS = 1024  # beyond this, route to the XLA engine
 
 # (nw, jb, ui) shapes validated + ranked on v5e hardware (tools/tpu_check
@@ -610,6 +666,7 @@ def choose_config(
     lq: int,
     nw: int | None = None,
     reserve: int = 0,
+    nq: int = 1,
 ) -> KernelConfig:
     """Pick (windows, j-block, row-unroll, S-chunk rows) for a query length.
 
@@ -625,11 +682,16 @@ def choose_config(
     for nw_c, jb, ui in shapes:
         if nw is not None and nw_c != nw:
             continue
-        lqp = -(-lq // ui) * ui
+        lqp = nq * (-(-lq // ui) * ui)  # per-query rows pad to ui
         rows = 2 * lqp * nw_c * WINDOW_LANES * 4
         state = (2 * jb + 1) * nw_c * WINDOW_LANES * 4
+        best = nq * nw_c * WINDOW_LANES * 4
+        # bf16 one-hot encodings live on the VMEM stack for the whole step
+        onehot = nw_c * jb * ALPHA * WINDOW_LANES * 2
         # largest ic (multiple of ui) fitting the leftover budget
-        ic_budget = (budget - rows - state) / (nw_c * jb * WINDOW_LANES * 4)
+        ic_budget = (budget - rows - state - best - onehot) / (
+            nw_c * jb * WINDOW_LANES * 4
+        )
         ic = min(lqp, int(ic_budget // ui) * ui)
         if ic >= ui:
             return KernelConfig(nw=nw_c, jb=jb, ui=ui, ic=ic)

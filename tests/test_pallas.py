@@ -27,18 +27,22 @@ class TestChooseConfig:
 
     def test_bounds(self):
         for lq in (8, 17, 144, 333, 1024):
-            for reserve in (0, 2 << 20):
-                cfg = choose_config(lq, reserve=reserve)
-                lqp = -(-lq // cfg.ui) * cfg.ui
-                assert 1 <= cfg.nw
-                assert cfg.ui <= cfg.ic <= lqp and cfg.ic % cfg.ui == 0
-                # VMEM footprint of the chosen config stays under budget
-                vmem = (
-                    2 * lqp * cfg.nw * 4096
-                    + cfg.nw * cfg.jb * cfg.ic * 4096
-                    + (2 * cfg.jb + 1) * cfg.nw * 4096
-                )
-                assert vmem <= 13.5 * 2**20 - reserve
+            for nq in (1, 8):
+                for reserve in (0, 2 << 20):
+                    cfg = choose_config(lq, reserve=reserve, nq=nq)
+                    lqp = nq * (-(-lq // cfg.ui) * cfg.ui)
+                    assert 1 <= cfg.nw
+                    assert cfg.ui <= cfg.ic <= lqp and cfg.ic % cfg.ui == 0
+                    # VMEM footprint (incl. one-hot stack temporaries and
+                    # per-query bests) stays under budget
+                    vmem = (
+                        2 * lqp * cfg.nw * 4096
+                        + cfg.nw * cfg.jb * cfg.ic * 4096
+                        + (2 * cfg.jb + 1) * cfg.nw * 4096
+                        + nq * cfg.nw * 4096
+                        + cfg.nw * cfg.jb * 32 * 1024 * 2
+                    )
+                    assert vmem <= 14.2 * 2**20 - reserve
 
     def test_fixed_nw_honored(self):
         for lq in (17, 144):
@@ -70,6 +74,88 @@ class TestPallasInterpret:
             sw_wavefront(prof, db, sc.gap_open_total, sc.gap_extend)
         )
         np.testing.assert_array_equal(got[:40], want[:40])
+
+    def test_multiquery_matches_wavefront(self, rng, blosum62):
+        """NQ queries batched along the row dimension, one dispatch."""
+        sc = blosum62
+        nq, lqmax = 3, 10
+        queries = [random_protein(rng, int(rng.integers(4, lqmax + 1))) for _ in range(nq)]
+        profs = np.zeros((nq, lqmax, 32), dtype=np.int32)
+        for k, q in enumerate(queries):
+            p = make_profile(sc.table, sc.query_indices(q))
+            profs[k, : len(p)] = p  # zero rows pad shorter queries
+        seqs = [encode(random_protein(rng, int(rng.integers(1, 12)))) for _ in range(60)]
+        db = np.full((12, 1024), PAD_INDEX, dtype=np.int32)
+        for k, s in enumerate(seqs):
+            db[: len(s), k] = s
+        got = np.asarray(
+            sw_pallas_windows(
+                profs,
+                db[None],
+                sc.gap_open_total,
+                sc.gap_extend,
+                nw=1,
+                ui=2,
+                interpret=True,
+            )
+        )
+        assert got.shape == (nq, 1024)
+        for k in range(nq):
+            want = np.asarray(
+                sw_wavefront(
+                    profs[k], db, sc.gap_open_total, sc.gap_extend
+                )
+            )
+            np.testing.assert_array_equal(got[k, :60], want[:60])
+
+    def test_stream_multiquery(self, rng, blosum62):
+        """Segmented stream + multi-query: both axes of batching at once."""
+        from seqalign_tpu.pipeline import _db_from_encoded
+        from seqalign_tpu.utils.packing import pack_streams
+
+        sc = blosum62
+        nq = 2
+        profs = np.stack(
+            [
+                make_profile(sc.table, sc.query_indices(random_protein(rng, 9)))
+                for _ in range(nq)
+            ]
+        )
+        encoded = [
+            encode(random_protein(rng, int(rng.integers(1, 14))))
+            for _ in range(3000)
+        ]
+        dbe = _db_from_encoded(encoded)
+        order = np.argsort(-dbe.lengths, kind="stable")
+        pack = pack_streams(dbe, order, 2, win=1024, jb=4, grain=8)
+        nslots = len(pack.slot_ids)
+        out = np.asarray(
+            sw_pallas_stream(
+                profs,
+                pack.streams,
+                pack.fs,
+                sc.gap_open_total,
+                sc.gap_extend,
+                nslots=nslots,
+                nw=2,
+                jb=4,
+                ui=4,
+                interpret=True,
+            )
+        )
+        assert out.shape == (nslots, nq, 1024)
+        lb = int(dbe.lengths.max())
+        flat = np.full((lb, len(encoded)), PAD_INDEX, dtype=np.int32)
+        for i, e in enumerate(encoded):
+            flat[: len(e), i] = e
+        for k in range(nq):
+            scores = np.zeros(len(encoded), dtype=np.int32)
+            for slot, ids in enumerate(pack.slot_ids):
+                scores[ids] = out[slot, k][: len(ids)]
+            want = np.asarray(
+                sw_wavefront(profs[k], flat, sc.gap_open_total, sc.gap_extend)
+            )
+            np.testing.assert_array_equal(scores, want)
 
     def test_stream_segments_match_wavefront(self, rng, blosum62):
         """Segmented stream kernel: several segments per window, flush+reset."""
