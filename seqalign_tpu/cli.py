@@ -59,6 +59,7 @@ USAGE = """usage: {prog} [OPTIONS] [seq1 seq2]
     --lanes <n>          lane-batch width override
     --no-sort            do not length-sort the database (assume pre-sorted)
     --topk <n>           print only the n best-scoring entries
+    --all-queries        score EVERY query-file record (batched on-device)
     --json               print results as one JSON object
 
  DETAILS:
@@ -111,6 +112,7 @@ def main(argv: list[str] | None = None) -> int:
     sort = True
     topk = None
     as_json = False
+    all_queries = False
     matrix_spec = None
 
     i = 0
@@ -131,6 +133,8 @@ def main(argv: list[str] | None = None) -> int:
                 file1, file2 = "", None
             elif al == "--no-sort":
                 sort = False
+            elif al == "--all-queries":
+                all_queries = True
             elif al == "--json":
                 as_json = True
             elif i == n - 1:
@@ -235,6 +239,11 @@ def main(argv: list[str] | None = None) -> int:
 
     from .pipeline import search_files
 
+    if all_queries:
+        return _run_multi(
+            file1, file2, scoring, engine, lanes, topk, as_json, print_fasta
+        )
+
     try:
         result = search_files(
             file1, file2, scoring, engine=engine, lanes=lanes,
@@ -289,6 +298,70 @@ def main(argv: list[str] | None = None) -> int:
         if print_seq:
             out.write(result.seqs[k] + "\n")
         out.write(f"score: {int(result.scores[k])}\n\n")
+
+    out.write(f"Total Time: {result.kernel_time:f}\n")
+    out.write(f"Total Entries: {result.total_entries}\n")
+    return 0
+
+
+def _run_multi(
+    file1, file2, scoring, engine, lanes, topk, as_json, print_fasta
+) -> int:
+    """--all-queries mode: one block of entries per query record."""
+    from .pipeline import search_files_multi
+
+    try:
+        result = search_files_multi(
+            file1, file2, scoring, engine=engine, lanes=lanes
+        )
+    except ValueError as e:
+        sys.stderr.write(str(e) + "\n")
+        return 0
+
+    out = sys.stdout
+    nq = len(result.query_names)
+
+    def order_for(qi):
+        if topk is None:
+            return range(result.total_entries)
+        import numpy as np
+
+        return list(np.argsort(-result.scores[qi], kind="stable")[:topk])
+
+    if as_json:
+        import json
+
+        json.dump(
+            {
+                "queries": [
+                    {
+                        "query": result.query_names[qi],
+                        "entries": [
+                            {
+                                "entry": int(k),
+                                "name": result.names[k],
+                                "score": int(result.scores[qi, k]),
+                            }
+                            for k in order_for(qi)
+                        ],
+                    }
+                    for qi in range(nq)
+                ],
+                "total_time": result.kernel_time,
+                "total_entries": result.total_entries,
+            },
+            out,
+        )
+        out.write("\n")
+        return 0
+
+    for qi in range(nq):
+        out.write(f"Query #{qi}: {result.query_names[qi]}\n")
+        for k in order_for(qi):
+            out.write(f"Entry #{k}:\n")
+            if print_fasta:
+                out.write(result.names[k] + "\n")
+            out.write(f"score: {int(result.scores[qi, k])}\n\n")
 
     out.write(f"Total Time: {result.kernel_time:f}\n")
     out.write(f"Total Entries: {result.total_entries}\n")

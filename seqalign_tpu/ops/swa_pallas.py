@@ -621,6 +621,11 @@ def sw_pallas_multi(
         dbw = db
         nw = db.shape[0]
     cfg = choose_config(int(profile.shape[0]), nw=nw)
+    if cfg is None:
+        raise ValueError(
+            f"no kernel config fits VMEM for query length {profile.shape[0]}"
+            f" at nw={nw}; use the XLA engine"
+        )
     lb = dbw.shape[1]
     if lb % cfg.jb != 0:
         dbw = jnp.pad(
@@ -667,7 +672,8 @@ def choose_config(
     nw: int | None = None,
     reserve: int = 0,
     nq: int = 1,
-) -> KernelConfig:
+    nw_max: int | None = None,
+) -> KernelConfig | None:
     """Pick (windows, j-block, row-unroll, S-chunk rows) for a query length.
 
     More interleaved windows = more independent DP chains = higher VPU
@@ -682,6 +688,8 @@ def choose_config(
     for nw_c, jb, ui in shapes:
         if nw is not None and nw_c != nw:
             continue
+        if nw_max is not None and nw_c > nw_max:
+            continue
         lqp = nq * (-(-lq // ui) * ui)  # per-query rows pad to ui
         rows = 2 * lqp * nw_c * WINDOW_LANES * 4
         state = (2 * jb + 1) * nw_c * WINDOW_LANES * 4
@@ -695,17 +703,20 @@ def choose_config(
         ic = min(lqp, int(ic_budget // ui) * ui)
         if ic >= ui:
             return KernelConfig(nw=nw_c, jb=jb, ui=ui, ic=ic)
-    return KernelConfig(nw=nw or 1, jb=2, ui=1, ic=1)
+    return None  # no validated shape fits VMEM: route to the XLA engine
 
 
 def choose_windows(lq: int) -> int:
-    return choose_config(lq).nw
+    cfg = choose_config(lq)
+    return cfg.nw if cfg is not None else 1
 
 
 def sw_pallas(profile, db, go, ge, *, interpret: bool = False):
     """Single-window (1024-lane) convenience wrapper."""
     db = jnp.asarray(db)
     cfg = choose_config(int(profile.shape[0]), nw=1)
+    if cfg is None:
+        raise ValueError("query too long for the Pallas kernel's VMEM rows")
     return sw_pallas_windows(
         profile,
         db[None],

@@ -30,6 +30,11 @@ class TestChooseConfig:
             for nq in (1, 8):
                 for reserve in (0, 2 << 20):
                     cfg = choose_config(lq, reserve=reserve, nq=nq)
+                    if cfg is None:
+                        # Infeasible row footprints must be rejected, not
+                        # silently over-allocated (callers fall back to XLA).
+                        assert nq * lq >= 1024
+                        continue
                     lqp = nq * (-(-lq // cfg.ui) * cfg.ui)
                     assert 1 <= cfg.nw
                     assert cfg.ui <= cfg.ic <= lqp and cfg.ic % cfg.ui == 0

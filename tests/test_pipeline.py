@@ -344,3 +344,41 @@ class TestStreamSearch:
         got, _ = search_encoded(q, encoded, sc, engine="pallas")
         want, _ = search_encoded(q, encoded, sc, engine="wavefront")
         np.testing.assert_array_equal(got, want)
+
+    def test_multi_query_stream(self, rng, blosum62, monkeypatch):
+        import functools
+
+        import seqalign_tpu.ops.swa_pallas as sp
+        from seqalign_tpu.models import encode
+        from seqalign_tpu.pipeline import _db_from_encoded, _stream_search
+
+        monkeypatch.setattr(
+            sp,
+            "sw_pallas_stream",
+            functools.partial(sp.sw_pallas_stream, interpret=True),
+        )
+        from conftest import random_protein
+
+        from seqalign_tpu.ops.swa_xla import make_profile
+        from seqalign_tpu.pipeline import search_encoded
+
+        sc = blosum62
+        nq = 3
+        qs = [sc.query_indices(random_protein(rng, int(rng.integers(5, 15)))) for _ in range(nq)]
+        lqm = max(len(q) for q in qs)
+        profs = np.zeros((nq, lqm, 32), dtype=np.int32)
+        for k, q in enumerate(qs):
+            profs[k, : len(q)] = make_profile(sc.table, q)
+        encoded = [
+            encode(random_protein(rng, int(rng.integers(1, 18))))
+            for _ in range(1500)
+        ]
+        db = _db_from_encoded(encoded)
+        order = np.argsort(-db.lengths, kind="stable")
+        got, _ = _stream_search(
+            profs, db, sc.gap_open_total, sc.gap_extend, order, None
+        )
+        assert got.shape == (nq, 1500)
+        for k, q in enumerate(qs):
+            want, _ = search_encoded(q, encoded, sc, engine="wavefront")
+            np.testing.assert_array_equal(got[k], want)
