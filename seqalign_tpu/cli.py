@@ -60,6 +60,7 @@ USAGE = """usage: {prog} [OPTIONS] [seq1 seq2]
     --no-sort            do not length-sort the database (assume pre-sorted)
     --topk <n>           print only the n best-scoring entries
     --all-queries        score EVERY query-file record (batched on-device)
+    --align <k>          print gapped alignments + CIGAR for the k best hits
     --json               print results as one JSON object
 
  DETAILS:
@@ -111,6 +112,7 @@ def main(argv: list[str] | None = None) -> int:
     lanes = None
     sort = True
     topk = None
+    align_k = None
     as_json = False
     all_queries = False
     matrix_spec = None
@@ -198,6 +200,14 @@ def main(argv: list[str] | None = None) -> int:
             elif al == "--topk":
                 topk = _parse_int(args[i + 1])
                 i += 1
+            elif al == "--align":
+                align_k = _parse_int(args[i + 1])
+                if align_k is None:
+                    return _usage_exit(
+                        prog, scoring,
+                        f"Invalid --align argument ('{args[i+1]}') must be an int",
+                    )
+                i += 1
             elif al == "--files":
                 if i >= n - 2:
                     return _usage_exit(prog, scoring, "--files option takes 2 arguments")
@@ -242,6 +252,10 @@ def main(argv: list[str] | None = None) -> int:
     if all_queries:
         return _run_multi(
             file1, file2, scoring, engine, lanes, topk, as_json, print_fasta
+        )
+    if align_k is not None:
+        return _run_align(
+            file1, file2, scoring, engine, lanes, align_k, as_json
         )
 
     try:
@@ -301,6 +315,76 @@ def main(argv: list[str] | None = None) -> int:
 
     out.write(f"Total Time: {result.kernel_time:f}\n")
     out.write(f"Total Entries: {result.total_entries}\n")
+    return 0
+
+
+def _run_align(file1, file2, scoring, engine, lanes, k, as_json) -> int:
+    """--align mode: score-only scan, then re-align the k best hits with a
+    full traceback (the two-phase design the reference's north star asks
+    for; the reference itself is score-only, SURVEY.md §0)."""
+    from .ops.traceback import topk_alignments
+    from .pipeline import _warn_padding, search_database
+    from .utils.fasta import read_first
+    from .utils.native_io import parse_file
+
+    try:
+        query = read_first(file1)
+        query_idx = scoring.query_indices(query.seq)
+        _warn_padding(scoring, query_idx)
+        db = parse_file(file2)
+        scores, kernel_time = search_database(
+            query_idx, db, scoring, engine=engine, lanes=lanes
+        )
+    except (ValueError, OSError) as e:
+        sys.stderr.write(str(e) + "\n")
+        return 0
+
+    hits = topk_alignments(
+        query_idx, db, scores, k, scoring.table,
+        scoring.gap_open, scoring.gap_extend, query_str=query.seq,
+    )
+    out = sys.stdout
+    if as_json:
+        import json
+
+        json.dump(
+            {
+                "query": query.name,
+                "alignments": [
+                    {
+                        "entry": rec,
+                        "name": db.names[rec],
+                        "score": aln.score,
+                        "query_start": aln.query_start,
+                        "query_end": aln.query_end,
+                        "db_start": aln.db_start,
+                        "db_end": aln.db_end,
+                        "query_aligned": aln.query_aligned,
+                        "db_aligned": aln.db_aligned,
+                        "cigar": aln.cigar,
+                    }
+                    for rec, aln in hits
+                ],
+                "total_time": kernel_time,
+                "total_entries": db.n,
+            },
+            out,
+        )
+        out.write("\n")
+        return 0
+    for rec, aln in hits:
+        out.write(f"Entry #{rec}:\n")
+        if db.names[rec]:
+            out.write(db.names[rec] + "\n")
+        out.write(f"score: {aln.score}\n")
+        out.write(
+            f"query {aln.query_start}..{aln.query_end}  "
+            f"db {aln.db_start}..{aln.db_end}  CIGAR {aln.cigar}\n"
+        )
+        out.write(aln.query_aligned + "\n")
+        out.write(aln.db_aligned + "\n\n")
+    out.write(f"Total Time: {kernel_time:f}\n")
+    out.write(f"Total Entries: {db.n}\n")
     return 0
 
 
