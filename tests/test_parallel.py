@@ -88,3 +88,52 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestMultiDevice:
+    """Data-parallel multi-device search (stream kernel per device)."""
+
+    def test_deal_chunks_balances(self):
+        from seqalign_tpu.parallel.multidevice import deal_chunks
+
+        rng = np.random.default_rng(3)
+        lengths = np.sort(rng.integers(10, 1000, 64 * 1024))[::-1]
+        order = np.arange(len(lengths))
+        chunks = deal_chunks(order, lengths, 4)
+        assert sum(len(c) for c in chunks) == len(order)
+        totals = [int(lengths[c].sum()) for c in chunks]
+        assert max(totals) / min(totals) < 1.05
+
+    def test_multi_device_search_interpret(self, rng, blosum62, monkeypatch):
+        import functools
+
+        import seqalign_tpu.ops.swa_pallas as sp
+        from seqalign_tpu.models import encode
+        from seqalign_tpu.ops.swa_xla import make_profile
+        from seqalign_tpu.parallel.multidevice import multi_device_search
+        from seqalign_tpu.pipeline import _db_from_encoded, search_encoded
+        from conftest import random_protein
+
+        sc = blosum62
+        q = sc.query_indices(random_protein(rng, 11))
+        prof = make_profile(sc.table, q)
+        encoded = [
+            encode(random_protein(rng, int(rng.integers(1, 16))))
+            for _ in range(4000)
+        ]
+        db = _db_from_encoded(encoded)
+        import jax
+
+        def engine(p, s, f, go, ge, **kw):
+            return sp.sw_pallas_stream(p, s, f, go, ge, interpret=True, **kw)
+
+        got, _ = multi_device_search(
+            prof,
+            db,
+            sc.gap_open_total,
+            sc.gap_extend,
+            devices=jax.devices()[:2],
+            engine_fn=engine,
+        )
+        want, _ = search_encoded(q, encoded, sc, engine="wavefront")
+        np.testing.assert_array_equal(got, want)
