@@ -45,8 +45,8 @@ USAGE = """usage: {prog} [OPTIONS] [seq1 seq2]
 
     --substitution_matrix <file>  see details for formatting
 
-    --minscore <score>   Minimum required score
-                         [default: match * MAX(0.2 * length, 2)]
+    --minscore <score>   Only print entries scoring at least this
+                         (documented but unimplemented in the reference)
 
     --printseq           Print sequences before local alignments
     --printmatrices      Print dynamic programming matrices
@@ -112,6 +112,7 @@ def main(argv: list[str] | None = None) -> int:
     lanes = None
     sort = True
     topk = None
+    minscore = None
     align_k = None
     as_json = False
     all_queries = False
@@ -200,6 +201,14 @@ def main(argv: list[str] | None = None) -> int:
             elif al == "--topk":
                 topk = _parse_int(args[i + 1])
                 i += 1
+            elif al == "--minscore":
+                minscore = _parse_int(args[i + 1])
+                if minscore is None:
+                    return _usage_exit(
+                        prog, scoring,
+                        f"Invalid --minscore argument ('{args[i+1]}') must be an int",
+                    )
+                i += 1
             elif al == "--align":
                 align_k = _parse_int(args[i + 1])
                 if align_k is None:
@@ -276,6 +285,8 @@ def main(argv: list[str] | None = None) -> int:
             import numpy as np
 
             order = list(np.argsort(-result.scores, kind="stable")[:topk])
+        if minscore is not None:
+            order = [k for k in order if result.scores[k] >= minscore]
         json.dump(
             {
                 "query": result.query_name,
@@ -305,6 +316,8 @@ def main(argv: list[str] | None = None) -> int:
         import numpy as np
 
         order = list(np.argsort(-result.scores, kind="stable")[:topk])
+    if minscore is not None:
+        order = [k for k in order if result.scores[k] >= minscore]
     for k in order:
         out.write(f"Entry #{k}:\n")
         if print_fasta:
