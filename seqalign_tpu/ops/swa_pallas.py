@@ -648,7 +648,7 @@ def sw_pallas_multi(
 
 # VMEM budget model: 2 row buffers (NW * LQP * 4 KB each) + S buffer
 # (NW * JB * IC * 4 KB) + state/db/pipeline overhead must stay under ~16 MB.
-_VMEM_BUDGET = 14.2 * 2**20
+_VMEM_BUDGET = 15.2 * 2**20
 MAX_QUERY_ROWS = 1024  # beyond this, route to the XLA engine
 
 # (nw, jb, ui) shapes validated + ranked on v5e hardware (tools/tpu_check
@@ -694,13 +694,21 @@ def choose_config(
         rows = 2 * lqp * nw_c * WINDOW_LANES * 4
         state = (2 * jb + 1) * nw_c * WINDOW_LANES * 4
         best = nq * nw_c * WINDOW_LANES * 4
-        # bf16 one-hot encodings live on the VMEM stack for the whole step
-        onehot = nw_c * jb * ALPHA * WINDOW_LANES * 2
-        # largest ic (multiple of ui) fitting the leftover budget
+        # bf16 one-hot encodings live on the VMEM stack for the whole step;
+        # weighted at half size (measured: configs at the full-size model
+        # limit compile fine -- Mosaic appears to stream them into the dots)
+        onehot = nw_c * jb * ALPHA * WINDOW_LANES
         ic_budget = (budget - rows - state - best - onehot) / (
             nw_c * jb * WINDOW_LANES * 4
         )
-        ic = min(lqp, int(ic_budget // ui) * ui)
+        if lq <= 48:
+            # short queries: one chunk covering the whole (padded) query
+            ic = min(lqp, int(ic_budget // ui) * ui)
+        else:
+            # long queries: the smallest legal S chunk measured fastest
+            # (ic=8: 206 GCUPS vs ic=16: 191 at lq=144 -- small production
+            # granules interleave better with the DP loop)
+            ic = ui if ic_budget >= ui else 0
         if ic >= ui:
             return KernelConfig(nw=nw_c, jb=jb, ui=ui, ic=ic)
     return None  # no validated shape fits VMEM: route to the XLA engine

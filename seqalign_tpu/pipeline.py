@@ -265,13 +265,16 @@ def _stream_search(
     win = WINDOW_LANES
     scores = np.zeros((nq, n) if multi else n, dtype=np.int32)
     kernel_time = 0.0
-    per_chunk = MAX_STREAM_SLOTS * win
+    # The output buffer costs nslots*nq*4KB of VMEM: shrink chunks as the
+    # query batch grows so window count (the throughput lever) survives.
+    slots_cap = max(32, MAX_STREAM_SLOTS // nq)
+    per_chunk = slots_cap * win
     for start in range(0, n, per_chunk):
         chunk = order[start : start + per_chunk]
         nslots = -(-len(chunk) // win)
         # Round the output-slot count up so compiled shapes recur across
         # databases (extra slots are never flushed; sliced away below).
-        nslots_c = min(-(-nslots // 64) * 64, MAX_STREAM_SLOTS)
+        nslots_c = min(-(-nslots // 32) * 32, slots_cap)
         # More windows than segments would score pure padding.
         nw_cap = max(1, min(nslots, 16)) if lanes is None else max(
             1, lanes // win

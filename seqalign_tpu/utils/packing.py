@@ -159,9 +159,12 @@ def pack_streams(
             )
         L = target_len
     else:
-        # Round to the compile-shape lattice so kernel shapes are reused
-        # across databases (multiples of 8; every jb divides 8).
-        L = lattice_round_up(L)
+        # Round up with ~3% granularity (multiples of grain) so kernel
+        # shapes recur across similar databases without meaningful padding
+        # (tail padding is real DP work; the coarse geometric lattice used
+        # for per-batch shapes wastes up to 25% here).
+        step = max(grain, (L >> 5) // grain * grain)
+        L = -(-L // step) * step
     streams = np.full((nw, L, win), PAD_INDEX, dtype=np.int8)
     fs = np.zeros((L // jb, nw, 2), dtype=np.int32)
     for w in range(nw):

@@ -38,16 +38,16 @@ class TestChooseConfig:
                     lqp = nq * (-(-lq // cfg.ui) * cfg.ui)
                     assert 1 <= cfg.nw
                     assert cfg.ui <= cfg.ic <= lqp and cfg.ic % cfg.ui == 0
-                    # VMEM footprint (incl. one-hot stack temporaries and
-                    # per-query bests) stays under budget
+                    # VMEM footprint (incl. half-weighted one-hot stack
+                    # temporaries and per-query bests) stays under budget
                     vmem = (
                         2 * lqp * cfg.nw * 4096
                         + cfg.nw * cfg.jb * cfg.ic * 4096
                         + (2 * cfg.jb + 1) * cfg.nw * 4096
                         + nq * cfg.nw * 4096
-                        + cfg.nw * cfg.jb * 32 * 1024 * 2
+                        + cfg.nw * cfg.jb * 32 * 1024
                     )
-                    assert vmem <= 14.2 * 2**20 - reserve
+                    assert vmem <= 15.2 * 2**20 - reserve
 
     def test_fixed_nw_honored(self):
         for lq in (17, 144):
