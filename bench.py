@@ -102,7 +102,7 @@ def main() -> None:
         chunk = order[start : start + chunk_slots * 1024]
         nslots = -(-len(chunk) // 1024)
         cfg = choose_config(QUERY_LEN, reserve=nslots * 4096 + (1 << 20))
-        pack = pack_streams(db, chunk, cfg.nw, win=1024, jb=cfg.jb, grain=32)
+        pack = pack_streams(db, chunk, cfg.nw, win=1024, jb=cfg.jb, grain=16)
         padded_cells += QUERY_LEN * pack.padded_cells_per_query_row
         packs.append(
             (

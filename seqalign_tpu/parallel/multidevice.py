@@ -93,7 +93,7 @@ def multi_device_search(
         cfg = choose_config(lq, reserve=reserve, nq=nq, nw_max=max(1, nslots))
         if cfg is None:
             raise ValueError("query too long for the stream kernel's VMEM")
-        pack = pack_streams(db, chunk, cfg.nw, win=win, jb=cfg.jb, grain=32)
+        pack = pack_streams(db, chunk, cfg.nw, win=win, jb=cfg.jb, grain=16)
         s_dev = jax.device_put(pack.streams, dev)
         f_dev = jax.device_put(pack.fs, dev)
         p_dev = jax.device_put(np.asarray(profile), dev)

@@ -284,7 +284,7 @@ def _stream_search(
         if cfg is None:  # nothing fits VMEM: caller falls back to XLA
             return None
         nw = cfg.nw
-        pack = pack_streams(db, chunk, nw, win=win, jb=cfg.jb, grain=32)
+        pack = pack_streams(db, chunk, nw, win=win, jb=cfg.jb, grain=16)
         streams_dev = jax.device_put(pack.streams)
         fs_dev = jax.device_put(pack.fs)
         prof_dev = jax.device_put(np.asarray(profile))
