@@ -119,6 +119,7 @@ def _run_block(
     ge: int,
     nq: int = 1,
     lqe: int | None = None,
+    bnd=None,
 ):
     """Advance the DP over one j-block (JB db positions x all query rows).
 
@@ -154,7 +155,18 @@ def _run_block(
                 state_ref[w, 2 * t + 1] = f0
             state_ref[w, 2 * jb] = gg0
 
-    reset_chain()
+    if bnd is None:
+        reset_chain()
+    else:
+        # Query striping: the row above this stripe is a real DP row; its
+        # (Gg, F) per db position seed the left chain, and the previous
+        # block's last-t Gg seeds the diagonal (t0 passed by the caller).
+        bnd_vals, t0_vals = bnd
+        for w in range(nw):
+            for t in range(jb):
+                state_ref[w, 2 * t] = bnd_vals[w][t][0]
+                state_ref[w, 2 * t + 1] = bnd_vals[w][t][1]
+            state_ref[w, 2 * jb] = t0_vals[w]
 
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (ALPHA, sl, LANES), 0)
     # One-hot encodings are chunk-invariant: build once per grid step.
@@ -323,6 +335,105 @@ def _kernel_stream(
         prof_ref, db_ref[:, 0], row_gg, row_e, s_buf, best_ref, state_ref,
         lqp=lqp, sl=sl, nw=nw, nq=nq, **params,
     )
+
+    @pl.when(j == nj - 1)
+    def _final():
+        for w in range(nw):
+            slot = fs_ref[0, w, 1]
+
+            @pl.when(slot > 0)
+            def _flush_end(w=w, slot=slot):
+                out_ref[slot - 1] = best_ref[w].astype(jnp.int32)
+
+
+def _kernel_stream_striped(
+    fs_ref,  # (1, NW, 2) int32 SMEM segment table (see _kernel_stream)
+    prof_ref,  # (NC*IC, ALPHA) bf16 biased profile rows of THIS stripe
+    db_ref,  # (NW, 1, JB, SL, LANES) int32 stream chars
+    *refs,
+    lqp: int,
+    sl: int,
+    nw: int,
+    jb: int,
+    has_in: bool,
+    has_out: bool,
+    **params,
+):
+    """Query-striped segmented-stream kernel (one pass = one row stripe).
+
+    Long queries exceed the VMEM rolling-row budget (MAX_QUERY_ROWS); the
+    DP is then run in row stripes. Between stripes the only coupling is the
+    left/diagonal chain at the stripe's last row, per database position:
+    pass p streams that (Gg, F) boundary out through HBM and pass p+1
+    streams it back in, seeding each block's chain instead of the zero
+    boundary. Per-pass outputs merge by max on the caller (the running
+    best of G is a max over disjoint row sets). The reference handles long
+    queries only by RAM growth (src/alignment.c:227-230); this keeps the
+    TPU kernel at full window interleave for arbitrary query lengths.
+
+    Ref layout after db_ref: [bnd_in] out [bnd_out] row_gg row_e s_buf
+    best_ref state_ref prevb_ref, where bnd arrays are (NW, 1, 2*JB, SL,
+    LANES) f32 blocks (slot 2t = Gg, 2t+1 = F at row stripe_end) and
+    prevb_ref carries the previous block's last-t boundary Gg (the
+    diagonal seed).
+    """
+    i = 0
+    bin_ref = refs[i] if has_in else None
+    i += 1 if has_in else 0
+    out_ref = refs[i]
+    i += 1
+    bout_ref = refs[i] if has_out else None
+    i += 1 if has_out else 0
+    row_gg, row_e, s_buf, best_ref, state_ref, prevb_ref = refs[i : i + 6]
+
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+    go_f = jnp.float32(params["go"])
+
+    @pl.when(j == 0)
+    def _init():
+        row_gg[...] = jnp.full_like(row_gg, go_f)
+        row_e[...] = jnp.zeros_like(row_e)
+        best_ref[...] = jnp.zeros_like(best_ref)
+        prevb_ref[...] = jnp.full_like(prevb_ref, go_f)
+
+    for w in range(nw):
+        slot = fs_ref[0, w, 0]
+
+        @pl.when(slot > 0)
+        def _flush(w=w, slot=slot):
+            out_ref[slot - 1] = best_ref[w].astype(jnp.int32)
+            best_ref[w] = jnp.zeros((1, sl, LANES), jnp.float32)
+            row_gg[w] = jnp.full((lqp, sl, LANES), go_f, jnp.float32)
+            row_e[w] = jnp.zeros((lqp, sl, LANES), jnp.float32)
+            # New sequence: the diagonal seed is the db-start boundary.
+            prevb_ref[w] = jnp.full((sl, LANES), go_f, jnp.float32)
+
+    if has_in:
+        bvals = [
+            [
+                (bin_ref[w, 0, 2 * t], bin_ref[w, 0, 2 * t + 1])
+                for t in range(jb)
+            ]
+            for w in range(nw)
+        ]
+        t0_vals = [prevb_ref[w] for w in range(nw)]
+        for w in range(nw):
+            prevb_ref[w] = bin_ref[w, 0, 2 * (jb - 1)]
+        bnd = (bvals, t0_vals)
+    else:
+        bnd = None
+
+    _run_block(
+        prof_ref, db_ref[:, 0], row_gg, row_e, s_buf, best_ref, state_ref,
+        lqp=lqp, sl=sl, nw=nw, jb=jb, bnd=bnd, **params,
+    )
+
+    if has_out:
+        for w in range(nw):
+            for t in range(jb):
+                bout_ref[w, 0, 2 * t] = state_ref[w, 2 * t]
+                bout_ref[w, 0, 2 * t + 1] = state_ref[w, 2 * t + 1]
 
     @pl.when(j == nj - 1)
     def _final():
@@ -573,6 +684,146 @@ def sw_pallas_stream(
     if multi:
         return out.reshape(nslots, nq, sl * LANES)
     return out.reshape(nslots, sl * LANES)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "go", "ge", "nslots", "sl", "nw", "jb", "ic", "ui",
+        "has_in", "has_out", "interpret",
+    ),
+)
+def _stream_striped_pass(
+    profile, streams, fs, bnd_in, go, ge, *,
+    nslots, sl, nw, jb, ic, ui, has_in, has_out, interpret=False,
+):
+    """One stripe pass of the striped stream kernel. Internal."""
+    lq = profile.shape[0]
+    nw_in, lb, b = streams.shape
+    nj = lb // jb
+    lqp = -(-lq // ui) * ui
+    ic = min(-(-ic // ui) * ui, lqp)
+    nc = -(-lqp // ic)
+
+    prof = (profile.astype(jnp.float32) - go).astype(jnp.bfloat16)
+    prof = jnp.pad(prof, ((0, nc * ic - lq), (0, 0)))
+    dbb = streams.astype(jnp.int32).reshape(nw, nj, jb, sl, LANES)
+
+    kernel = functools.partial(
+        _kernel_stream_striped, lqp=lqp, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui,
+        nc=nc, go=int(go), ge=int(ge), has_in=has_in, has_out=has_out,
+    )
+    in_specs = [
+        pl.BlockSpec((1, nw, 2), lambda j: (j, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((nc * ic, ALPHA), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (nw, 1, jb, sl, LANES),
+            lambda j: (0, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [fs.astype(jnp.int32), prof, dbb]
+    if has_in:
+        in_specs.append(
+            pl.BlockSpec(
+                (nw, 1, 2 * jb, sl, LANES),
+                lambda j: (0, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(bnd_in)
+    out_specs = [
+        pl.BlockSpec(
+            (nslots, 1, sl, LANES),
+            lambda j: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    out_shape = [jax.ShapeDtypeStruct((nslots, 1, sl, LANES), jnp.int32)]
+    if has_out:
+        out_specs.append(
+            pl.BlockSpec(
+                (nw, 1, 2 * jb, sl, LANES),
+                lambda j: (0, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((nw, nj, 2 * jb, sl, LANES), jnp.float32)
+        )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nj,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
+            pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
+            pltpu.VMEM((nw, jb, ic, sl, LANES), jnp.float32),
+            pltpu.VMEM((nw, 1, sl, LANES), jnp.float32),
+            pltpu.VMEM((nw, 2 * jb + 1, sl, LANES), jnp.float32),
+            pltpu.VMEM((nw, sl, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*args)
+    if has_out:
+        return outs[0].reshape(nslots, sl * LANES), outs[1]
+    return outs[0].reshape(nslots, sl * LANES), None
+
+
+# Row stripe size for long queries; chosen so 2 row buffers x nw windows
+# fit VMEM with margin (see choose_config usage in callers).
+STRIPE_ROWS = 256
+
+
+def sw_pallas_stream_striped(
+    profile: jax.Array,
+    streams: jax.Array,
+    fs: jax.Array,
+    go: int,
+    ge: int,
+    *,
+    nslots: int,
+    sl: int = DEFAULT_SL,
+    nw: int = DEFAULT_NW,
+    jb: int = DEFAULT_JB,
+    ic: int | None = None,
+    ui: int = DEFAULT_UI,
+    stripe_rows: int = STRIPE_ROWS,
+    interpret: bool = False,
+) -> jax.Array:
+    """Segmented-stream scoring for queries of ANY length via row striping.
+
+    Runs ceil(Lq / stripe_rows) passes over the database streams; stripe
+    boundaries (the chain state at each stripe's last row, per database
+    position) stream through HBM between passes and never touch the host.
+    Returns (nslots, SL*128) int32 scores — the max over stripes of each
+    pass's per-segment bests (exact: G's running max over disjoint row
+    sets).
+    """
+    if ge < go:
+        raise ValueError(f"G-form kernel requires ge >= go (got {go=}, {ge=})")
+    lq = int(profile.shape[0])
+    if ic is None:
+        ic = ui
+    sq = -(-stripe_rows // ui) * ui
+    n_stripes = -(-lq // sq)
+    best = None
+    bnd = None
+    for pth in range(n_stripes):
+        pstr = profile[pth * sq : (pth + 1) * sq]
+        out, bnd = _stream_striped_pass(
+            pstr, streams, fs, bnd, go, ge,
+            nslots=nslots, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui,
+            has_in=pth > 0, has_out=pth < n_stripes - 1,
+            interpret=interpret,
+        )
+        best = out if best is None else jnp.maximum(best, out)
+    return best
 
 
 # Per-window lane width of the production configuration.

@@ -127,16 +127,15 @@ def search_database(
     # batches (window-major lane order == linear id order), so no device-side
     # transpose is ever needed.
     if eng_name == "pallas":
-        from .ops.swa_pallas import MAX_QUERY_ROWS, supported_scoring
+        from .ops.swa_pallas import supported_scoring
 
-        if len(query_idx) > MAX_QUERY_ROWS or not supported_scoring(
-            profile, go, ge
-        ):
-            # Too long for a single VMEM-resident row set, or a scoring
-            # system outside the G-form kernel's envelope (positive
+        if not supported_scoring(profile, go, ge):
+            # Scoring system outside the G-form kernel's envelope (positive
             # gap-open, |scores| beyond bf16-exact range): XLA engine.
             eng_name = "wavefront"
         else:
+            # Long queries route to the row-striped kernel inside
+            # _stream_search; no length limit.
             res = _stream_search(profile, db, go, ge, order, lanes)
             if res is not None:
                 return res
@@ -280,7 +279,16 @@ def _stream_search(
             1, lanes // win
         )
         reserve = nslots_c * nq * 4096 + (1 << 20)
-        cfg = choose_config(lq, reserve=reserve, nq=nq, nw_max=nw_cap)
+        from .ops.swa_pallas import MAX_QUERY_ROWS, STRIPE_ROWS
+
+        striped = lq > MAX_QUERY_ROWS
+        stripe_rows = STRIPE_ROWS
+        if striped and nq > 1:
+            return None  # striping is single-query; caller falls back
+        cfg_lq = min(lq, stripe_rows) if striped else lq
+        if striped:
+            reserve += 2 * 2 * 8 * 4096 * 16  # boundary stream blocks
+        cfg = choose_config(cfg_lq, reserve=reserve, nq=nq, nw_max=nw_cap)
         if cfg is None:  # nothing fits VMEM: caller falls back to XLA
             return None
         nw = cfg.nw
@@ -290,18 +298,32 @@ def _stream_search(
         prof_dev = jax.device_put(np.asarray(profile))
         jax.block_until_ready([streams_dev, fs_dev, prof_dev])
 
-        kw = dict(nslots=nslots_c, nw=nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic)
-        # AOT-compile outside the timed region: the reference's timer also
-        # excludes everything but the kernel loop (src/alignment_cmdline.c:
-        # 503-509). The compiled executable is cached per shape.
-        lower = getattr(sw_pallas_stream, "lower", None)
-        if lower is not None:
-            compiled = lower(prof_dev, streams_dev, fs_dev, go, ge, **kw).compile()
-            run = lambda: compiled(prof_dev, streams_dev, fs_dev)
-        else:  # e.g. tests substitute an interpret-mode engine
-            run = lambda: sw_pallas_stream(
+        if striped:
+            from .ops.swa_pallas import sw_pallas_stream_striped
+
+            kw = dict(
+                nslots=nslots_c, nw=nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic,
+                stripe_rows=stripe_rows,
+            )
+            run = lambda: sw_pallas_stream_striped(
                 prof_dev, streams_dev, fs_dev, go, ge, **kw
             )
+            np.asarray(run())  # warm the per-stripe compiles (untimed)
+        else:
+            kw = dict(nslots=nslots_c, nw=nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic)
+            # AOT-compile outside the timed region: the reference's timer
+            # also excludes everything but the kernel loop
+            # (src/alignment_cmdline.c:503-509). Cached per shape.
+            lower = getattr(sw_pallas_stream, "lower", None)
+            if lower is not None:
+                compiled = lower(
+                    prof_dev, streams_dev, fs_dev, go, ge, **kw
+                ).compile()
+                run = lambda: compiled(prof_dev, streams_dev, fs_dev)
+            else:  # e.g. tests substitute an interpret-mode engine
+                run = lambda: sw_pallas_stream(
+                    prof_dev, streams_dev, fs_dev, go, ge, **kw
+                )
 
         t0 = time.perf_counter()
         out = np.asarray(run())

@@ -162,6 +162,50 @@ class TestPallasInterpret:
             )
             np.testing.assert_array_equal(scores, want)
 
+    def test_striped_long_query(self, rng, blosum62):
+        """Row-striped stream kernel: 4 stripes, boundary chain through HBM."""
+        from seqalign_tpu.ops.swa_pallas import sw_pallas_stream_striped
+        from seqalign_tpu.pipeline import _db_from_encoded
+        from seqalign_tpu.utils.packing import pack_streams
+
+        sc = blosum62
+        q = sc.query_indices(random_protein(rng, 50))
+        prof = make_profile(sc.table, q)
+        encoded = [
+            encode(random_protein(rng, int(rng.integers(1, 30))))
+            for _ in range(2500)
+        ]
+        db = _db_from_encoded(encoded)
+        order = np.argsort(-db.lengths, kind="stable")
+        pack = pack_streams(db, order, 2, win=1024, jb=4, grain=8)
+        nslots = len(pack.slot_ids)
+        out = np.asarray(
+            sw_pallas_stream_striped(
+                prof,
+                pack.streams,
+                pack.fs,
+                sc.gap_open_total,
+                sc.gap_extend,
+                nslots=nslots,
+                nw=2,
+                jb=4,
+                ui=4,
+                stripe_rows=16,  # 50 rows -> 4 stripes
+                interpret=True,
+            )
+        )
+        scores = np.zeros(len(encoded), dtype=np.int32)
+        for slot, ids in enumerate(pack.slot_ids):
+            scores[ids] = out[slot][: len(ids)]
+        lb = int(db.lengths.max())
+        flat = np.full((lb, len(encoded)), PAD_INDEX, dtype=np.int32)
+        for i, e in enumerate(encoded):
+            flat[: len(e), i] = e
+        want = np.asarray(
+            sw_wavefront(prof, flat, sc.gap_open_total, sc.gap_extend)
+        )
+        np.testing.assert_array_equal(scores, want)
+
     def test_stream_segments_match_wavefront(self, rng, blosum62):
         """Segmented stream kernel: several segments per window, flush+reset."""
         from seqalign_tpu.pipeline import _db_from_encoded
