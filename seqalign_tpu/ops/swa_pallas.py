@@ -916,6 +916,12 @@ _SHAPES_LONG = [
     (10, 4, 8), (8, 4, 8), (6, 4, 8), (4, 8, 2), (4, 4, 8), (2, 4, 8),
     (2, 8, 2), (1, 4, 8), (1, 4, 4), (1, 2, 1),
 ]
+# Multi-query batching adds a predicated chain reset + dynamic best
+# indexing to the loop body; jb=8 variants of that body crash Mosaic.
+_SHAPES_MQ = [
+    (8, 4, 8), (8, 4, 4), (6, 4, 4), (4, 4, 4), (2, 4, 4), (1, 4, 4),
+    (1, 2, 2), (1, 2, 1),
+]
 
 
 def choose_config(
@@ -934,7 +940,10 @@ def choose_config(
     budget. The S chunk is sized to whatever budget remains (measured:
     chunk size matters little; window count dominates).
     """
-    shapes = _SHAPES_SHORT if lq <= 48 else _SHAPES_LONG
+    if nq > 1:
+        shapes = _SHAPES_MQ
+    else:
+        shapes = _SHAPES_SHORT if lq <= 48 else _SHAPES_LONG
     budget = _VMEM_BUDGET - reserve
     for nw_c, jb, ui in shapes:
         if nw is not None and nw_c != nw:

@@ -382,3 +382,60 @@ class TestStreamSearch:
         for k, q in enumerate(qs):
             want, _ = search_encoded(q, encoded, sc, engine="wavefront")
             np.testing.assert_array_equal(got[k], want)
+
+    @pytest.mark.parametrize("n_records", [1, 5, 1023, 1025])
+    def test_stream_edge_sizes(self, rng, blosum62, monkeypatch, n_records):
+        import functools
+
+        import seqalign_tpu.ops.swa_pallas as sp
+        from seqalign_tpu.models import encode
+        from seqalign_tpu.pipeline import _db_from_encoded, _stream_search
+        from seqalign_tpu.ops.swa_xla import make_profile
+        from seqalign_tpu.pipeline import search_encoded
+        from conftest import random_protein
+
+        monkeypatch.setattr(
+            sp,
+            "sw_pallas_stream",
+            functools.partial(sp.sw_pallas_stream, interpret=True),
+        )
+        sc = blosum62
+        q = sc.query_indices(random_protein(rng, 7))
+        prof = make_profile(sc.table, q)
+        encoded = [
+            encode(random_protein(rng, int(rng.integers(1, 9))))
+            for _ in range(n_records)
+        ]
+        db = _db_from_encoded(encoded)
+        order = np.argsort(-db.lengths, kind="stable")
+        got, _ = _stream_search(
+            prof, db, sc.gap_open_total, sc.gap_extend, order, None
+        )
+        want, _ = search_encoded(q, encoded, sc, engine="wavefront")
+        np.testing.assert_array_equal(got, want)
+
+    def test_single_residue_query_and_records(self, rng, blosum62, monkeypatch):
+        import functools
+
+        import seqalign_tpu.ops.swa_pallas as sp
+        from seqalign_tpu.models import encode
+        from seqalign_tpu.pipeline import _db_from_encoded, _stream_search
+        from seqalign_tpu.ops.swa_xla import make_profile
+        from seqalign_tpu.pipeline import search_encoded
+
+        monkeypatch.setattr(
+            sp,
+            "sw_pallas_stream",
+            functools.partial(sp.sw_pallas_stream, interpret=True),
+        )
+        sc = blosum62
+        q = sc.query_indices("W")
+        prof = make_profile(sc.table, q)
+        encoded = [encode(s) for s in ("W", "A", "WW", "AWA")] * 40
+        db = _db_from_encoded(encoded)
+        order = np.argsort(-db.lengths, kind="stable")
+        got, _ = _stream_search(
+            prof, db, sc.gap_open_total, sc.gap_extend, order, None
+        )
+        want, _ = search_encoded(q, encoded, sc, engine="wavefront")
+        np.testing.assert_array_equal(got, want)

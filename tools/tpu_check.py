@@ -66,6 +66,11 @@ def main() -> int:
         "--lq", type=int, nargs="*", help="restrict to these query lengths"
     )
     parser.add_argument("--nw", type=int, nargs="*", help="sweep: window counts")
+    parser.add_argument(
+        "--paths",
+        action="store_true",
+        help="regression-check every production kernel path (stream, striped, multi-query)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -145,6 +150,8 @@ def main() -> int:
                     cfg = KernelConfig(nw=nw, jb=jb, ui=ui, ic=ic)
                     check_and_time(lq, cfg, verify=False)
             print()
+    elif args.paths:
+        failures += check_paths(rng)
     else:
         for lq in args.lq or (17, 64, 144, 256, 384, 512, 768):
             cfg = choose_config(lq)
@@ -152,6 +159,102 @@ def main() -> int:
 
     print("FAILURES:", failures)
     return 1 if failures else 0
+
+
+def check_paths(rng) -> int:
+    """Hardware regression: every production kernel path, exact vs XLA."""
+    import numpy as np
+
+    from seqalign_tpu.models import ScoringModel, load_builtin
+    from seqalign_tpu.models.alphabet import encode
+    from seqalign_tpu.ops.swa_pallas import (
+        choose_config,
+        sw_pallas_stream,
+        sw_pallas_stream_striped,
+    )
+    from seqalign_tpu.ops.swa_xla import make_profile, sw_wavefront
+    from seqalign_tpu.pipeline import _db_from_encoded
+    from seqalign_tpu.utils.packing import pack_streams
+
+    aa20 = np.array(encode("ACDEFGHIKLMNPQRSTVWY"), dtype=np.int8)
+    sc = load_builtin(
+        "BLOSUM62",
+        ScoringModel(gap_open=-2, gap_extend=-1, use_match_mismatch=False),
+    )
+    go, ge = sc.gap_open_total, sc.gap_extend
+    n = 6000
+    encoded = [
+        aa20[rng.integers(0, 20, int(L))]
+        for L in np.clip(rng.gamma(1.8, 60.0, n).astype(np.int64), 1, 800)
+    ]
+    db = _db_from_encoded(encoded)
+    order = np.argsort(-db.lengths, kind="stable")
+    lb = int(db.lengths.max())
+    flat = np.full((lb, n), 31, dtype=np.int32)
+    for i, e in enumerate(encoded):
+        flat[: len(e), i] = e
+
+    fails = 0
+
+    def scatter(out, pack, k=None):
+        s = np.zeros(n, dtype=np.int32)
+        for slot, ids in enumerate(pack.slot_ids):
+            s[ids] = (out[slot] if k is None else out[slot, k])[: len(ids)]
+        return s
+
+    # 1) segmented stream
+    q = aa20[rng.integers(0, 20, 144)].astype(np.int32)
+    prof = make_profile(sc.table, q)
+    cfg = choose_config(144, reserve=(1 << 20))
+    pack = pack_streams(db, order, cfg.nw, jb=cfg.jb, grain=16)
+    out = np.asarray(
+        sw_pallas_stream(
+            prof, pack.streams, pack.fs, go, ge,
+            nslots=len(pack.slot_ids), nw=cfg.nw, jb=cfg.jb, ui=cfg.ui,
+            ic=cfg.ic,
+        )
+    )
+    want = np.asarray(sw_wavefront(prof, flat, go, ge))
+    ok = bool((scatter(out, pack) == want).all())
+    print(f"stream lq=144 {cfg}: exact={ok}")
+    fails += not ok
+
+    # 2) striped long query
+    ql = aa20[rng.integers(0, 20, 700)].astype(np.int32)
+    profl = make_profile(sc.table, ql)
+    cfgs = choose_config(192, reserve=(2 << 20))
+    packs = pack_streams(db, order, cfgs.nw, jb=cfgs.jb, grain=16)
+    out = np.asarray(
+        sw_pallas_stream_striped(
+            profl, packs.streams, packs.fs, go, ge,
+            nslots=len(packs.slot_ids), nw=cfgs.nw, jb=cfgs.jb, ui=cfgs.ui,
+            ic=cfgs.ic, stripe_rows=192,
+        )
+    )
+    wantl = np.asarray(sw_wavefront(profl, flat, go, ge))
+    ok = bool((scatter(out, packs) == wantl).all())
+    print(f"striped lq=700 (4 stripes) {cfgs}: exact={ok}")
+    fails += not ok
+
+    # 3) multi-query stream
+    nq = 4
+    qs = [aa20[rng.integers(0, 20, 33)].astype(np.int32) for _ in range(nq)]
+    profs = np.stack([make_profile(sc.table, qq) for qq in qs])
+    cfgm = choose_config(33, nq=nq, reserve=(1 << 20))
+    packm = pack_streams(db, order, cfgm.nw, jb=cfgm.jb, grain=16)
+    out = np.asarray(
+        sw_pallas_stream(
+            profs, packm.streams, packm.fs, go, ge,
+            nslots=len(packm.slot_ids), nw=cfgm.nw, jb=cfgm.jb, ui=cfgm.ui,
+            ic=cfgm.ic,
+        )
+    )
+    for k in range(nq):
+        wantk = np.asarray(sw_wavefront(profs[k], flat, go, ge))
+        ok = bool((scatter(out, packm, k) == wantk).all())
+        print(f"multiquery q{k} lq=33 {cfgm}: exact={ok}")
+        fails += not ok
+    return fails
 
 
 if __name__ == "__main__":
