@@ -92,16 +92,16 @@ def main() -> None:
     from seqalign_tpu.ops.swa_pallas import choose_config, sw_pallas_stream
     from seqalign_tpu.utils.packing import pack_streams
 
-    # Chunk the database so the output-slot VMEM reserve still leaves room
-    # for 8 interleaved windows (the measured throughput sweet spot).
-    chunk_slots = 288
+    # Output slots are DMA-flushed to HBM, so the whole database fits one
+    # dispatch at full window interleave.
+    chunk_slots = 1024
     order = np.arange(n)  # already sorted descending
     packs = []
     padded_cells = 0
     for start in range(0, n, chunk_slots * 1024):
         chunk = order[start : start + chunk_slots * 1024]
         nslots = -(-len(chunk) // 1024)
-        cfg = choose_config(QUERY_LEN, reserve=nslots * 4096 + (1 << 20))
+        cfg = choose_config(QUERY_LEN, reserve=(1 << 20))
         pack = pack_streams(db, chunk, cfg.nw, win=1024, jb=cfg.jb, grain=16)
         padded_cells += QUERY_LEN * pack.padded_cells_per_query_row
         packs.append(

@@ -290,12 +290,14 @@ def _kernel_stream(
     #          [w,1] final flush-slot+1 (only nonzero on the last block)
     prof_ref,  # (NC*IC, ALPHA) bf16 biased query profile
     db_ref,  # (NW, 1, JB, SL, LANES) int32 stream chars for this grid step
-    out_ref,  # (NSLOTS, NQ, SL, LANES) int32 per-segment best scores
+    out_ref,  # (NSLOTS, NQ, SL, LANES) int32 per-segment bests, in HBM (ANY)
     row_gg,
     row_e,
     s_buf,
     best_ref,  # (NW, NQ, SL, LANES) f32
     state_ref,
+    stage_ref,  # (NQ, SL, LANES) int32 DMA staging for flushes
+    sem,  # DMA semaphore
     *,
     lqp: int,
     sl: int,
@@ -321,12 +323,21 @@ def _kernel_stream(
         row_e[...] = jnp.zeros_like(row_e)
         best_ref[...] = jnp.zeros_like(best_ref)
 
+    def flush(w, slot):
+        # The output lives in HBM (frees the VMEM the slot buffer would
+        # otherwise pin, buying more interleaved windows): stage the int32
+        # scores in VMEM and DMA them to the slot. ~1 DMA per 1024 records.
+        stage_ref[...] = best_ref[w].astype(jnp.int32)
+        copy = pltpu.make_async_copy(stage_ref, out_ref.at[slot - 1], sem)
+        copy.start()
+        copy.wait()
+
     for w in range(nw):
         slot = fs_ref[0, w, 0]
 
         @pl.when(slot > 0)
         def _flush(w=w, slot=slot):
-            out_ref[slot - 1] = best_ref[w].astype(jnp.int32)
+            flush(w, slot)
             best_ref[w] = jnp.zeros((nq, sl, LANES), jnp.float32)
             row_gg[w] = jnp.full((lqp, sl, LANES), go_f, jnp.float32)
             row_e[w] = jnp.zeros((lqp, sl, LANES), jnp.float32)
@@ -343,7 +354,7 @@ def _kernel_stream(
 
             @pl.when(slot > 0)
             def _flush_end(w=w, slot=slot):
-                out_ref[slot - 1] = best_ref[w].astype(jnp.int32)
+                flush(w, slot)
 
 
 def _kernel_stream_striped(
@@ -658,11 +669,7 @@ def sw_pallas_stream(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (nslots, nq, sl, LANES),
-            lambda j: (0, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((nslots, nq, sl, LANES), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
@@ -670,6 +677,8 @@ def sw_pallas_stream(
             pltpu.VMEM((nw, jb, ic, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, nq, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, 2 * jb + 1, sl, LANES), jnp.float32),
+            pltpu.VMEM((nq, sl, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -229,9 +229,9 @@ def search_database_multi(
     return scores, kernel_time
 
 
-# Output slots per stream dispatch: bounds the kernel's VMEM-resident output
-# (slots x 4 KB) and lets compiled shapes be reused across databases.
-MAX_STREAM_SLOTS = 512
+# Output slots per stream dispatch. The output lives in HBM (DMA-flushed),
+# so this only bounds host-side chunk memory; shapes round up for reuse.
+MAX_STREAM_SLOTS = 4096
 
 
 def _stream_search(
@@ -264,8 +264,6 @@ def _stream_search(
     win = WINDOW_LANES
     scores = np.zeros((nq, n) if multi else n, dtype=np.int32)
     kernel_time = 0.0
-    # The output buffer costs nslots*nq*4KB of VMEM: shrink chunks as the
-    # query batch grows so window count (the throughput lever) survives.
     slots_cap = max(32, MAX_STREAM_SLOTS // nq)
     per_chunk = slots_cap * win
     for start in range(0, n, per_chunk):
@@ -278,7 +276,7 @@ def _stream_search(
         nw_cap = max(1, min(nslots, 16)) if lanes is None else max(
             1, lanes // win
         )
-        reserve = nslots_c * nq * 4096 + (1 << 20)
+        reserve = 1 << 20  # output slots live in HBM; margin only
         from .ops.swa_pallas import MAX_QUERY_ROWS, STRIPE_ROWS
 
         striped = lq > MAX_QUERY_ROWS
