@@ -395,7 +395,9 @@ def _kernel_stream_striped(
     i += 1
     bout_ref = refs[i] if has_out else None
     i += 1 if has_out else 0
-    row_gg, row_e, s_buf, best_ref, state_ref, prevb_ref = refs[i : i + 6]
+    (
+        row_gg, row_e, s_buf, best_ref, state_ref, prevb_ref, stage_ref, sem,
+    ) = refs[i : i + 8]
 
     j = pl.program_id(0)
     nj = pl.num_programs(0)
@@ -408,12 +410,18 @@ def _kernel_stream_striped(
         best_ref[...] = jnp.zeros_like(best_ref)
         prevb_ref[...] = jnp.full_like(prevb_ref, go_f)
 
+    def flush(w, slot):
+        stage_ref[...] = best_ref[w].astype(jnp.int32)
+        copy = pltpu.make_async_copy(stage_ref, out_ref.at[slot - 1], sem)
+        copy.start()
+        copy.wait()
+
     for w in range(nw):
         slot = fs_ref[0, w, 0]
 
         @pl.when(slot > 0)
         def _flush(w=w, slot=slot):
-            out_ref[slot - 1] = best_ref[w].astype(jnp.int32)
+            flush(w, slot)
             best_ref[w] = jnp.zeros((1, sl, LANES), jnp.float32)
             row_gg[w] = jnp.full((lqp, sl, LANES), go_f, jnp.float32)
             row_e[w] = jnp.zeros((lqp, sl, LANES), jnp.float32)
@@ -453,7 +461,7 @@ def _kernel_stream_striped(
 
             @pl.when(slot > 0)
             def _flush_end(w=w, slot=slot):
-                out_ref[slot - 1] = best_ref[w].astype(jnp.int32)
+                flush(w, slot)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -741,13 +749,7 @@ def _stream_striped_pass(
             )
         )
         args.append(bnd_in)
-    out_specs = [
-        pl.BlockSpec(
-            (nslots, 1, sl, LANES),
-            lambda j: (0, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-    ]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     out_shape = [jax.ShapeDtypeStruct((nslots, 1, sl, LANES), jnp.int32)]
     if has_out:
         out_specs.append(
@@ -773,6 +775,8 @@ def _stream_striped_pass(
             pltpu.VMEM((nw, 1, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, 2 * jb + 1, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, sl, LANES), jnp.float32),
+            pltpu.VMEM((1, sl, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
