@@ -867,6 +867,11 @@ def sw_pallas_multi(
     plain (Lb, B) array with B a multiple of 1024 (windows split on host).
     Queries longer than ``MAX_QUERY_ROWS`` should use the XLA engine (VMEM).
     """
+    if profile.ndim != 2:
+        raise ValueError(
+            "sw_pallas_multi is the single-query adapter; call "
+            "sw_pallas_windows directly for multi-query profiles"
+        )
     if db.ndim == 2:
         lb, b = db.shape
         if b % WINDOW_LANES != 0:

@@ -126,6 +126,14 @@ def search_database(
     # kernel timer. The pallas engine takes window-stacked (NW, Lb, 1024)
     # batches (window-major lane order == linear id order), so no device-side
     # transpose is ever needed.
+    if eng_name == "pallas" and jax.default_backend() != "tpu":
+        import sys
+
+        print(
+            "Note: pallas engine requires a TPU backend; using wavefront.",
+            file=sys.stderr,
+        )
+        eng_name = "wavefront"
     if eng_name == "pallas":
         from .ops.swa_pallas import supported_scoring
 
@@ -246,7 +254,7 @@ def _stream_search(
 
     The TPU answer to the reference's OpenMP dispatch loop
     (``src/alignment_cmdline.c:501-527``): the database becomes NW balanced
-    window streams scored in one device launch per ~512k records — no
+    window streams scored in one device launch per ~4M records — no
     per-batch launch latency, no per-shape recompiles. Timing covers engine
     dispatch + device execution + result fetch (packing and host->device
     transfer excluded, the reference's own boundary).
@@ -285,7 +293,9 @@ def _stream_search(
             return None  # striping is single-query; caller falls back
         cfg_lq = min(lq, stripe_rows) if striped else lq
         if striped:
-            reserve += 2 * 2 * 8 * 4096 * 16  # boundary stream blocks
+            # boundary stream blocks: (in + out) x double-buffer x 2*jb
+            # slots of 4 KB, jb <= 8
+            reserve += 4 * (2 * 8) * 4096
         cfg = choose_config(cfg_lq, reserve=reserve, nq=nq, nw_max=nw_cap)
         if cfg is None:  # nothing fits VMEM: caller falls back to XLA
             return None
