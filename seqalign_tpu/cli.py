@@ -61,6 +61,7 @@ USAGE = """usage: {prog} [OPTIONS] [seq1 seq2]
     --topk <n>           print only the n best-scoring entries
     --all-queries        score EVERY query-file record (batched on-device)
     --align <k>          print gapped alignments + CIGAR for the k best hits
+    --checkpoint <dir>   chunk-level resume state for huge scans
     --json               print results as one JSON object
 
  DETAILS:
@@ -113,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
     sort = True
     topk = None
     minscore = None
+    checkpoint = None
     align_k = None
     as_json = False
     all_queries = False
@@ -209,6 +211,9 @@ def main(argv: list[str] | None = None) -> int:
                         f"Invalid --minscore argument ('{args[i+1]}') must be an int",
                     )
                 i += 1
+            elif al == "--checkpoint":
+                checkpoint = args[i + 1]
+                i += 1
             elif al == "--align":
                 align_k = _parse_int(args[i + 1])
                 if align_k is None:
@@ -270,7 +275,7 @@ def main(argv: list[str] | None = None) -> int:
     try:
         result = search_files(
             file1, file2, scoring, engine=engine, lanes=lanes,
-            keep_seqs=print_seq,
+            keep_seqs=print_seq, checkpoint_dir=checkpoint,
         )
     except ValueError as e:
         sys.stderr.write(str(e) + "\n")

@@ -80,6 +80,7 @@ def search_database(
     engine: str | None = None,
     lanes: int | None = None,
     sort: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> tuple[np.ndarray, float]:
     """Score an encoded query against an EncodedDatabase.
 
@@ -144,7 +145,10 @@ def search_database(
         else:
             # Long queries route to the row-striped kernel inside
             # _stream_search; no length limit.
-            res = _stream_search(profile, db, go, ge, order, lanes)
+            res = _stream_search(
+                profile, db, go, ge, order, lanes,
+                checkpoint_dir=checkpoint_dir,
+            )
             if res is not None:
                 return res
             eng_name = "wavefront"  # no kernel config fits VMEM
@@ -249,6 +253,7 @@ def _stream_search(
     ge: int,
     order: np.ndarray,
     lanes: int | None,
+    checkpoint_dir: str | None = None,
 ) -> tuple[np.ndarray, float]:
     """Whole-database search via the single-dispatch segmented stream kernel.
 
@@ -274,8 +279,21 @@ def _stream_search(
     kernel_time = 0.0
     slots_cap = max(32, MAX_STREAM_SLOTS // nq)
     per_chunk = slots_cap * win
+    ckpt = (
+        _ScanCheckpoint(checkpoint_dir, profile, db, go, ge)
+        if checkpoint_dir
+        else None
+    )
     for start in range(0, n, per_chunk):
         chunk = order[start : start + per_chunk]
+        if ckpt is not None:
+            done = ckpt.load(start)
+            if done is not None:
+                if multi:
+                    scores[:, chunk] = done[:, : len(chunk)]
+                else:
+                    scores[chunk] = done[: len(chunk)]
+                continue
         nslots = -(-len(chunk) // win)
         # Round the output-slot count up so compiled shapes recur across
         # databases (extra slots are never flushed; sliced away below).
@@ -337,12 +355,82 @@ def _stream_search(
         out = np.asarray(run())
         kernel_time += time.perf_counter() - t0
 
+        chunk_scores = (
+            np.zeros((nq, len(chunk)), dtype=np.int32)
+            if multi
+            else np.zeros(len(chunk), dtype=np.int32)
+        )
+        pos = {int(r): i for i, r in enumerate(chunk)}
         for slot, ids in enumerate(pack.slot_ids):
+            local = [pos[int(r)] for r in ids]
             if multi:
                 scores[:, ids] = out[slot, :, : len(ids)]
+                chunk_scores[:, local] = out[slot, :, : len(ids)]
             else:
                 scores[ids] = out[slot][: len(ids)]
+                chunk_scores[local] = out[slot][: len(ids)]
+        if ckpt is not None:
+            ckpt.save(start, chunk_scores)
     return scores, kernel_time
+
+
+class _ScanCheckpoint:
+    """Chunk-level resume for huge database scans (SURVEY.md §5).
+
+    Each ~4M-record stream chunk's scores persist to ``dir/chunk_<start>.npy``
+    under a manifest keyed by a fingerprint of (query profile, database,
+    penalties); re-running the same scan skips completed chunks. The
+    reference has no recovery story (single pass, exit(1) on error).
+    """
+
+    def __init__(self, path, profile, db, go, ge):
+        import hashlib
+        import json
+        import os
+
+        self.dir = path
+        os.makedirs(path, exist_ok=True)
+        h = hashlib.sha256()
+        h.update(np.ascontiguousarray(profile).tobytes())
+        h.update(np.ascontiguousarray(db.offsets).tobytes())
+        # Sampled content fingerprint: cheap but catches edits.
+        h.update(np.ascontiguousarray(db.seq[:: max(1, len(db.seq) // 65536)]).tobytes())
+        h.update(str((int(go), int(ge))).encode())
+        self.key = h.hexdigest()[:16]
+        self.manifest = os.path.join(path, "manifest.json")
+        try:
+            with open(self.manifest) as f:
+                state = json.load(f)
+            if state.get("key") != self.key:
+                state = {"key": self.key, "chunks": []}
+        except (OSError, ValueError):
+            state = {"key": self.key, "chunks": []}
+        self.state = state
+        self._flush()
+
+    def _flush(self):
+        import json
+
+        with open(self.manifest, "w") as f:
+            json.dump(self.state, f)
+
+    def _file(self, start):
+        import os
+
+        return os.path.join(self.dir, f"chunk_{start}.npy")
+
+    def load(self, start):
+        if start not in self.state["chunks"]:
+            return None
+        try:
+            return np.load(self._file(start))
+        except OSError:
+            return None
+
+    def save(self, start, chunk_scores):
+        np.save(self._file(start), chunk_scores)
+        self.state["chunks"].append(start)
+        self._flush()
 
 
 _CACHE_ENABLED = False
@@ -501,6 +589,7 @@ def search_files(
     engine: str | None = None,
     lanes: int | None = None,
     keep_seqs: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> SearchResult:
     """Search a query FASTA (first record) against a database FASTA.
 
@@ -516,7 +605,8 @@ def search_files(
         )
     db = parse_file(db_path)
     scores, kernel_time = search_database(
-        query_idx, db, scoring, engine=engine, lanes=lanes
+        query_idx, db, scoring, engine=engine, lanes=lanes,
+        checkpoint_dir=checkpoint_dir,
     )
     return SearchResult(
         query_name=query.name,

@@ -439,3 +439,52 @@ class TestStreamSearch:
         )
         want, _ = search_encoded(q, encoded, sc, engine="wavefront")
         np.testing.assert_array_equal(got, want)
+
+    def test_checkpoint_resume(self, rng, blosum62, monkeypatch, tmp_path):
+        """Chunk checkpointing: a resumed scan skips completed chunks."""
+        import functools
+
+        import seqalign_tpu.ops.swa_pallas as sp
+        import seqalign_tpu.pipeline as pl
+        from seqalign_tpu.models import encode
+        from seqalign_tpu.ops.swa_xla import make_profile
+        from seqalign_tpu.pipeline import _db_from_encoded, _stream_search
+        from conftest import random_protein
+
+        monkeypatch.setattr(
+            sp,
+            "sw_pallas_stream",
+            functools.partial(sp.sw_pallas_stream, interpret=True),
+        )
+        monkeypatch.setattr(pl, "MAX_STREAM_SLOTS", 1)  # force 2 chunks
+        sc = blosum62
+        q = sc.query_indices(random_protein(rng, 7))
+        prof = make_profile(sc.table, q)
+        encoded = [
+            encode(random_protein(rng, int(rng.integers(1, 9))))
+            for _ in range(1500)
+        ]
+        db = _db_from_encoded(encoded)
+        order = np.argsort(-db.lengths, kind="stable")
+        ck = str(tmp_path / "ckpt")
+        first, _ = _stream_search(
+            prof, db, sc.gap_open_total, sc.gap_extend, order, None,
+            checkpoint_dir=ck,
+        )
+        # A resumed run must not dispatch the engine at all.
+        def boom(*a, **k):
+            raise AssertionError("engine dispatched on a completed scan")
+
+        monkeypatch.setattr(pl, "sw_pallas_stream", boom, raising=False)
+        monkeypatch.setattr(sp, "sw_pallas_stream", boom)
+        second, _ = _stream_search(
+            prof, db, sc.gap_open_total, sc.gap_extend, order, None,
+            checkpoint_dir=ck,
+        )
+        np.testing.assert_array_equal(first, second)
+        # Different penalties invalidate the manifest (engine needed again).
+        with pytest.raises(AssertionError):
+            _stream_search(
+                prof, db, sc.gap_open_total - 1, sc.gap_extend, order, None,
+                checkpoint_dir=ck,
+            )
