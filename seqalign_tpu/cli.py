@@ -62,6 +62,7 @@ USAGE = """usage: {prog} [OPTIONS] [seq1 seq2]
     --all-queries        score EVERY query-file record (batched on-device)
     --align <k>          print gapped alignments + CIGAR for the k best hits
     --checkpoint <dir>   chunk-level resume state for huge scans
+    --trace <dir>        write a jax.profiler trace of the search
     --json               print results as one JSON object
 
  DETAILS:
@@ -115,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
     topk = None
     minscore = None
     checkpoint = None
+    trace_dir = None
     align_k = None
     as_json = False
     all_queries = False
@@ -214,6 +216,9 @@ def main(argv: list[str] | None = None) -> int:
             elif al == "--checkpoint":
                 checkpoint = args[i + 1]
                 i += 1
+            elif al == "--trace":
+                trace_dir = args[i + 1]
+                i += 1
             elif al == "--align":
                 align_k = _parse_int(args[i + 1])
                 if align_k is None:
@@ -272,6 +277,15 @@ def main(argv: list[str] | None = None) -> int:
             file1, file2, scoring, engine, lanes, align_k, as_json
         )
 
+    tracing = False
+    if trace_dir is not None:
+        try:
+            import jax
+
+            jax.profiler.start_trace(trace_dir)
+            tracing = True
+        except Exception as e:  # profiling is best-effort observability
+            sys.stderr.write(f"Note: profiler unavailable ({e})\n")
     try:
         result = search_files(
             file1, file2, scoring, engine=engine, lanes=lanes,
@@ -280,6 +294,14 @@ def main(argv: list[str] | None = None) -> int:
     except ValueError as e:
         sys.stderr.write(str(e) + "\n")
         return 0  # reference prints the error and exits successfully
+    finally:
+        if tracing:
+            try:
+                import jax
+
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
 
     out = sys.stdout
     if as_json:
