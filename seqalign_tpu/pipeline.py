@@ -27,7 +27,7 @@ from typing import Callable, Iterable, Sequence
 
 import numpy as np
 
-from .models.alphabet import decode, encode
+from .models.alphabet import encode
 from .models.scoring import ScoringModel
 from .utils.fasta import SeqRecord, read_fasta, read_first
 from .utils.native_io import EncodedDatabase, pack_batch, parse_file

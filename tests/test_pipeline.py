@@ -488,3 +488,27 @@ class TestStreamSearch:
                 prof, db, sc.gap_open_total - 1, sc.gap_extend, order, None,
                 checkpoint_dir=ck,
             )
+
+
+def test_benchmark_harness_smoke(tmp_path):
+    """benchmarks/benchmark.py parses the CLI and reports mean+-std."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    q = tmp_path / "q.fa"
+    d = tmp_path / "db.fa"
+    q.write_text(">q\nACDEFGHIKLMNPQRSTVWY\n")
+    d.write_text("".join(f">r{i}\nACDEFGHIK\n" for i in range(20)))
+    out = subprocess.run(
+        [
+            sys.executable, str(repo / "benchmarks/benchmark.py"),
+            str(q), str(d), "--engines", "wavefront", "--repeats", "2",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        check=True,
+    ).stdout
+    assert "wavefront" in out and "entries/s" in out
