@@ -327,6 +327,11 @@ def main(argv: list[str] | None = None) -> int:
                 ],
                 "total_time": result.kernel_time,
                 "total_entries": result.total_entries,
+                "entries_per_s": (
+                    result.total_entries / result.kernel_time
+                    if result.kernel_time
+                    else None
+                ),
             },
             out,
         )

@@ -197,6 +197,27 @@ def sw_traceback(
     )
 
 
+def align_pair(
+    seq_a: str,
+    seq_b: str,
+    scoring,
+) -> Alignment:
+    """Align two sequences directly (the upstream seq-align use case the
+    reference specialized away). Convenience wrapper over sw_traceback."""
+    qa = scoring.query_indices(seq_a)
+    from ..models.alphabet import encode
+
+    return sw_traceback(
+        qa,
+        encode(seq_b),
+        scoring.table,
+        scoring.gap_open,
+        scoring.gap_extend,
+        query_str=seq_a,
+        db_str=seq_b,
+    )
+
+
 def topk_alignments(
     query_idx: np.ndarray,
     db,

@@ -314,42 +314,61 @@ def _stream_search(
             # boundary stream blocks: (in + out) x double-buffer x 2*jb
             # slots of 4 KB, jb <= 8
             reserve += 4 * (2 * 8) * 4096
-        cfg = choose_config(cfg_lq, reserve=reserve, nq=nq, nw_max=nw_cap)
-        if cfg is None:  # nothing fits VMEM: caller falls back to XLA
-            return None
-        nw = cfg.nw
-        pack = pack_streams(db, chunk, nw, win=win, jb=cfg.jb, grain=16)
-        streams_dev = jax.device_put(pack.streams)
-        fs_dev = jax.device_put(pack.fs)
-        prof_dev = jax.device_put(np.asarray(profile))
-        jax.block_until_ready([streams_dev, fs_dev, prof_dev])
-
-        if striped:
-            from .ops.swa_pallas import sw_pallas_stream_striped
-
-            kw = dict(
-                nslots=nslots_c, nw=nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic,
-                stripe_rows=stripe_rows,
+        # Mosaic occasionally rejects tile shapes outside the validated
+        # grid (docs/DESIGN.md); on a compile failure retry with fewer
+        # windows before giving the chunk up to the XLA engine.
+        run = None
+        retry_cap = nw_cap
+        while run is None:
+            cfg = choose_config(
+                cfg_lq, reserve=reserve, nq=nq, nw_max=retry_cap
             )
-            run = lambda: sw_pallas_stream_striped(
-                prof_dev, streams_dev, fs_dev, go, ge, **kw
-            )
-            np.asarray(run())  # warm the per-stripe compiles (untimed)
-        else:
-            kw = dict(nslots=nslots_c, nw=nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic)
-            # AOT-compile outside the timed region: the reference's timer
-            # also excludes everything but the kernel loop
-            # (src/alignment_cmdline.c:503-509). Cached per shape.
-            lower = getattr(sw_pallas_stream, "lower", None)
-            if lower is not None:
-                compiled = lower(
-                    prof_dev, streams_dev, fs_dev, go, ge, **kw
-                ).compile()
-                run = lambda: compiled(prof_dev, streams_dev, fs_dev)
-            else:  # e.g. tests substitute an interpret-mode engine
-                run = lambda: sw_pallas_stream(
-                    prof_dev, streams_dev, fs_dev, go, ge, **kw
-                )
+            if cfg is None:  # nothing fits VMEM: caller falls back to XLA
+                return None
+            nw = cfg.nw
+            pack = pack_streams(db, chunk, nw, win=win, jb=cfg.jb, grain=16)
+            streams_dev = jax.device_put(pack.streams)
+            fs_dev = jax.device_put(pack.fs)
+            prof_dev = jax.device_put(np.asarray(profile))
+            jax.block_until_ready([streams_dev, fs_dev, prof_dev])
+
+            try:
+                if striped:
+                    from .ops.swa_pallas import sw_pallas_stream_striped
+
+                    kw = dict(
+                        nslots=nslots_c, nw=nw, jb=cfg.jb, ui=cfg.ui,
+                        ic=cfg.ic, stripe_rows=stripe_rows,
+                    )
+                    run = lambda: sw_pallas_stream_striped(
+                        prof_dev, streams_dev, fs_dev, go, ge, **kw
+                    )
+                    np.asarray(run())  # warm per-stripe compiles (untimed)
+                else:
+                    kw = dict(
+                        nslots=nslots_c, nw=nw, jb=cfg.jb, ui=cfg.ui,
+                        ic=cfg.ic,
+                    )
+                    # AOT-compile outside the timed region: the reference's
+                    # timer also excludes everything but the kernel loop
+                    # (src/alignment_cmdline.c:503-509). Cached per shape.
+                    lower = getattr(sw_pallas_stream, "lower", None)
+                    if lower is not None:
+                        compiled = lower(
+                            prof_dev, streams_dev, fs_dev, go, ge, **kw
+                        ).compile()
+                        run = lambda: compiled(
+                            prof_dev, streams_dev, fs_dev
+                        )
+                    else:  # tests substitute an interpret-mode engine
+                        run = lambda: sw_pallas_stream(
+                            prof_dev, streams_dev, fs_dev, go, ge, **kw
+                        )
+            except Exception:
+                if nw <= 1:
+                    return None
+                retry_cap = nw - 1
+                run = None
 
         t0 = time.perf_counter()
         out = np.asarray(run())

@@ -105,3 +105,11 @@ class TestTraceback:
         assert [h[1].score for h in hits] == sorted(
             scores, reverse=True
         )[:3]
+
+
+def test_align_pair(blosum62):
+    from seqalign_tpu.ops.traceback import align_pair
+
+    aln = align_pair("HEAGAWGHEE", "PAWHEAE", blosum62)
+    assert aln.score > 0
+    assert len(aln.query_aligned) == len(aln.db_aligned)
