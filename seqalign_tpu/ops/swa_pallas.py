@@ -790,7 +790,7 @@ def _stream_striped_pass(
 
 # Row stripe size for long queries; chosen so 2 row buffers x nw windows
 # fit VMEM with margin (see choose_config usage in callers).
-STRIPE_ROWS = 256
+STRIPE_ROWS = 512
 
 
 def sw_pallas_stream_striped(
@@ -918,7 +918,7 @@ def sw_pallas_multi(
 # VMEM budget model: 2 row buffers (NW * LQP * 4 KB each) + S buffer
 # (NW * JB * IC * 4 KB) + state/db/pipeline overhead must stay under ~16 MB.
 _VMEM_BUDGET = 15.2 * 2**20
-MAX_QUERY_ROWS = 1024  # beyond this, route to the XLA engine
+MAX_QUERY_ROWS = 1536  # beyond this, row-striped passes
 
 # (nw, jb, ui) shapes validated + ranked on v5e hardware (tools/tpu_check
 # --sweep; docs/DESIGN.md measurement log). Short queries amortize row
@@ -933,6 +933,14 @@ _SHAPES_SHORT = [
 _SHAPES_LONG = [
     (10, 4, 8), (8, 4, 8), (6, 4, 8), (4, 8, 2), (4, 4, 8), (2, 4, 8),
     (2, 8, 2), (1, 4, 8), (1, 4, 4), (1, 2, 1),
+]
+# Beyond ~192 rows, deep row unrolls win: the unrolled body contains an
+# anti-diagonal wavefront of ~min(jb, ui) independent cells per window, so
+# ILP ~ nw * min(jb, ui) and fewer windows (more VMEM for rows) with ui=16+
+# measured 224-266 GCUPS (vs 192-213 for the ui=8 shapes).
+_SHAPES_XLONG = [
+    (4, 4, 16), (2, 4, 16), (2, 8, 16), (1, 4, 32), (1, 4, 16), (1, 4, 8),
+    (1, 2, 1),
 ]
 # Multi-query batching adds a predicated chain reset + dynamic best
 # indexing to the loop body; jb=8 variants of that body crash Mosaic.
@@ -960,8 +968,12 @@ def choose_config(
     """
     if nq > 1:
         shapes = _SHAPES_MQ
+    elif lq <= 48:
+        shapes = _SHAPES_SHORT
+    elif lq <= 192:
+        shapes = _SHAPES_LONG
     else:
-        shapes = _SHAPES_SHORT if lq <= 48 else _SHAPES_LONG
+        shapes = _SHAPES_XLONG
     budget = _VMEM_BUDGET - reserve
     for nw_c, jb, ui in shapes:
         if nw is not None and nw_c != nw:
