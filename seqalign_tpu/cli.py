@@ -62,6 +62,7 @@ USAGE = """usage: {prog} [OPTIONS] [seq1 seq2]
     --all-queries        score EVERY query-file record (batched on-device)
     --align <k>          print gapped alignments + CIGAR for the k best hits
     --checkpoint <dir>   chunk-level resume state for huge scans
+    --stream-chunk <n>   bounded-memory mode: process n db records at a time
     --trace <dir>        write a jax.profiler trace of the search
     --json               print results as one JSON object
 
@@ -116,6 +117,7 @@ def main(argv: list[str] | None = None) -> int:
     topk = None
     minscore = None
     checkpoint = None
+    stream_chunk = None
     trace_dir = None
     align_k = None
     as_json = False
@@ -216,6 +218,9 @@ def main(argv: list[str] | None = None) -> int:
             elif al == "--checkpoint":
                 checkpoint = args[i + 1]
                 i += 1
+            elif al == "--stream-chunk":
+                stream_chunk = _parse_int(args[i + 1])
+                i += 1
             elif al == "--trace":
                 trace_dir = args[i + 1]
                 i += 1
@@ -287,10 +292,18 @@ def main(argv: list[str] | None = None) -> int:
         except Exception as e:  # profiling is best-effort observability
             sys.stderr.write(f"Note: profiler unavailable ({e})\n")
     try:
-        result = search_files(
-            file1, file2, scoring, engine=engine, lanes=lanes,
-            keep_seqs=print_seq, checkpoint_dir=checkpoint,
-        )
+        if stream_chunk is not None:
+            from .pipeline import search_files_streaming
+
+            result = search_files_streaming(
+                file1, file2, scoring, engine=engine, lanes=lanes,
+                chunk_records=stream_chunk, checkpoint_dir=checkpoint,
+            )
+        else:
+            result = search_files(
+                file1, file2, scoring, engine=engine, lanes=lanes,
+                keep_seqs=print_seq, checkpoint_dir=checkpoint,
+            )
     except ValueError as e:
         sys.stderr.write(str(e) + "\n")
         return 0  # reference prints the error and exits successfully

@@ -601,6 +601,75 @@ def search_files_multi(
     )
 
 
+def search_files_streaming(
+    query_path: str,
+    db_path: str,
+    scoring: ScoringModel,
+    engine: str | None = None,
+    lanes: int | None = None,
+    chunk_records: int = 512 * 1024,
+    checkpoint_dir: str | None = None,
+) -> SearchResult:
+    """Bounded-memory search: stream the database in record chunks.
+
+    The reference streams records with O(batch) memory
+    (``src/alignment_cmdline.c:422-457``); ``search_files``'s flat-buffer
+    parse is O(database) instead, which a larger-than-RAM database breaks.
+    This variant reads/encodes/scores ``chunk_records`` at a time (the
+    per-chunk sort keeps padding low within each chunk) and keeps only
+    names + scores. Scores are identical to the non-streaming path.
+    """
+    import os
+
+    query = read_first(query_path)
+    query_idx = scoring.query_indices(query.seq)
+    _warn_padding(scoring, query_idx)
+
+    names: list[str] = []
+    chunks: list[np.ndarray] = []
+    kernel_time = 0.0
+    buf: list[SeqRecord] = []
+
+    def flush(buf, k):
+        nonlocal kernel_time
+        db = _db_from_encoded(
+            [encode(r.seq) for r in buf], names=[r.name for r in buf]
+        )
+        ck = (
+            os.path.join(checkpoint_dir, f"part{k}") if checkpoint_dir else None
+        )
+        s, dt = search_database(
+            query_idx, db, scoring, engine=engine, lanes=lanes,
+            checkpoint_dir=ck,
+        )
+        kernel_time += dt
+        names.extend(db.names)
+        chunks.append(s)
+
+    k = 0
+    for rec in read_fasta(db_path):
+        buf.append(rec)
+        if len(buf) >= chunk_records:
+            flush(buf, k)
+            buf = []
+            k += 1
+    if buf:
+        flush(buf, k)
+
+    scores = (
+        np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int32)
+    )
+    return SearchResult(
+        query_name=query.name,
+        query_seq=query.seq,
+        names=names,
+        seqs=None,
+        scores=scores,
+        kernel_time=kernel_time,
+        total_entries=len(names),
+    )
+
+
 def search_files(
     query_path: str,
     db_path: str,

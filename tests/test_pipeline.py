@@ -512,3 +512,25 @@ def test_benchmark_harness_smoke(tmp_path):
         check=True,
     ).stdout
     assert "wavefront" in out and "entries/s" in out
+
+
+def test_streaming_search_matches(tmp_path, rng, blosum62):
+    """Chunked streaming search == one-shot search, bounded memory."""
+    from seqalign_tpu.pipeline import search_files, search_files_streaming
+    from conftest import random_protein
+
+    q = tmp_path / "q.fa"
+    d = tmp_path / "db.fa"
+    q.write_text(">q\n" + random_protein(rng, 25) + "\n")
+    d.write_text(
+        "".join(
+            f">r{i}\n{random_protein(rng, int(rng.integers(1, 40)))}\n"
+            for i in range(700)
+        )
+    )
+    full = search_files(str(q), str(d), blosum62, engine="wavefront")
+    streamed = search_files_streaming(
+        str(q), str(d), blosum62, engine="wavefront", chunk_records=150
+    )
+    np.testing.assert_array_equal(full.scores, streamed.scores)
+    assert full.names == streamed.names
