@@ -970,9 +970,10 @@ def choose_config(
         shapes = _SHAPES_MQ
     elif lq <= 48:
         shapes = _SHAPES_SHORT
-    elif lq <= 192:
+    elif lq < 96:
         shapes = _SHAPES_LONG
     else:
+        # measured: deep-unroll shapes match at 144 and win from ~96 up
         shapes = _SHAPES_XLONG
     budget = _VMEM_BUDGET - reserve
     for nw_c, jb, ui in shapes:
