@@ -534,3 +534,109 @@ def test_streaming_search_matches(tmp_path, rng, blosum62):
     )
     np.testing.assert_array_equal(full.scores, streamed.scores)
     assert full.names == streamed.names
+
+
+class TestCliExtensions:
+    """CLI extension flags end-to-end (wavefront engine, CPU)."""
+
+    @pytest.fixture
+    def files(self, tmp_path, rng):
+        from conftest import random_protein
+
+        q = tmp_path / "q.fa"
+        d = tmp_path / "db.fa"
+        q.write_text(
+            ">q0\n" + random_protein(rng, 20) + "\n"
+            ">q1\n" + random_protein(rng, 15) + "\n"
+        )
+        d.write_text(
+            "".join(
+                f">r{i}\n{random_protein(rng, int(rng.integers(3, 30)))}\n"
+                for i in range(40)
+            )
+        )
+        return str(q), str(d)
+
+    def test_all_queries(self, files, tmp_path):
+        q, d = files
+        code, out, _ = run_cli(
+            ["--engine", "wavefront", "--all-queries", "--files", q, d],
+            tmp_path,
+        )
+        assert code == 0
+        assert out.count("Query #") == 2
+        assert out.count("score:") == 80
+
+    def test_all_queries_json(self, files, tmp_path):
+        import json
+
+        q, d = files
+        code, out, _ = run_cli(
+            [
+                "--engine", "wavefront", "--all-queries", "--json",
+                "--topk", "3", "--files", q, d,
+            ],
+            tmp_path,
+        )
+        assert code == 0
+        data = json.loads(out.splitlines()[-1])
+        assert len(data["queries"]) == 2
+        assert all(len(qq["entries"]) == 3 for qq in data["queries"])
+
+    def test_align_json(self, files, tmp_path):
+        import json
+
+        q, d = files
+        code, out, _ = run_cli(
+            [
+                "--engine", "wavefront", "--align", "2", "--json",
+                "--files", q, d,
+            ],
+            tmp_path,
+        )
+        assert code == 0
+        data = json.loads(out.splitlines()[-1])
+        assert len(data["alignments"]) == 2
+        a = data["alignments"][0]
+        assert len(a["query_aligned"]) == len(a["db_aligned"])
+        assert a["cigar"]
+
+    def test_minscore_filters(self, files, tmp_path):
+        q, d = files
+        code, out_all, _ = run_cli(
+            ["--engine", "wavefront", "--files", q, d], tmp_path
+        )
+        scores = [
+            int(l.split()[-1]) for l in out_all.splitlines()
+            if l.startswith("score:")
+        ]
+        cut = sorted(scores)[len(scores) // 2]
+        code, out, _ = run_cli(
+            [
+                "--engine", "wavefront", "--minscore", str(cut),
+                "--files", q, d,
+            ],
+            tmp_path,
+        )
+        kept = [
+            int(l.split()[-1]) for l in out.splitlines()
+            if l.startswith("score:")
+        ]
+        assert kept == [s for s in scores if s >= cut]
+
+    def test_stream_chunk_matches(self, files, tmp_path):
+        q, d = files
+        _, a, _ = run_cli(
+            ["--engine", "wavefront", "--files", q, d], tmp_path
+        )
+        _, b, _ = run_cli(
+            [
+                "--engine", "wavefront", "--stream-chunk", "13",
+                "--files", q, d,
+            ],
+            tmp_path,
+        )
+        strip = lambda s: [
+            l for l in s.splitlines() if not l.startswith("Total Time")
+        ]
+        assert strip(a) == strip(b)
