@@ -8,11 +8,14 @@ but sized and laid out for the TPU vector unit and memory system:
 - **Lane batching**: each "window" holds ``SL x 128`` database sequences
   (1024 at SL=8), shaped so every elementwise op is a whole number of native
   vector registers (the reference uses 16 int16 AVX2 lanes).
-- **Window interleaving (NW)**: several independent windows are advanced in
-  lockstep inside the inner loop. The DP recurrence is a serial dependency
-  chain; interleaving independent chains is what fills the VPU pipeline.
-  Measured on v5e (dependent max/add chains): 1 chain sustains ~0.8 Tops/s,
-  8 chains ~4.2 Tops/s — window count is the single biggest throughput lever.
+- **Window interleaving (NW) x body wavefront**: the VPU pipeline needs ~8
+  independent dependency chains to saturate (measured: 1 chain ~0.8 Tops/s,
+  8 chains ~4.2). Two sources provide them: NW independent windows advanced
+  in lockstep, and — inside each window's unrolled (jb x ui) body — an
+  anti-diagonal wavefront of ~min(jb, ui) independent cells (cell (t, u)
+  depends on (t-1, u) and (t, u-1)). Short queries lean on windows (rows
+  are cheap), long queries on deep row unrolls (rows are the VMEM cost);
+  ``choose_config`` encodes the measured ranking per query-length band.
 - **Rolling rows in VMEM**: linear-space DP like the reference's single-row
   buffers (``src/alignment.c:227-230``), persisted across the sequential
   grid dimension (database-position blocks).
