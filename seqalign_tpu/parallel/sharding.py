@@ -37,14 +37,17 @@ def sharded_engine(
     devices, the profile is replicated, and per-lane scores come back sharded
     (B_total,).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(), P(None, axis)),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     def _run(profile, db):
         return engine_fn(profile, db, go, ge)
@@ -67,14 +70,17 @@ def sharded_topk(
     the global top-k — the merge pattern the BASELINE north star describes.
     Returns fn(profile, db) -> (values (k,), global lane indices (k,)).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(), P(None, axis)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def _run(profile, db):
         scores = engine_fn(profile, db, go, ge)
