@@ -251,3 +251,53 @@ class TestPallasInterpret:
             sw_wavefront(prof, flat, sc.gap_open_total, sc.gap_extend)
         )
         np.testing.assert_array_equal(scores, want)
+
+
+class TestStreamBoundaryEdges:
+    """Segment boundaries at the extremes of the grid."""
+
+    def test_tiny_tail_segment_on_last_block(self, rng, blosum62):
+        """A segment that STARTS at the final j-block: the start-flush and
+        the end-flush both fire on the same grid step, different windows
+        columns — the tightest flush interleaving the kernel supports."""
+        from seqalign_tpu.pipeline import _db_from_encoded
+        from seqalign_tpu.utils.packing import pack_streams
+
+        sc = blosum62
+        q = sc.query_indices(random_protein(rng, 8))
+        prof = make_profile(sc.table, q)
+        # One window; two slots: a long segment then a grain-sized tail.
+        encoded = [encode(random_protein(rng, 32)) for _ in range(1024)]
+        encoded += [encode(random_protein(rng, 3)) for _ in range(1024)]
+        db = _db_from_encoded(encoded)
+        order = np.arange(len(encoded))  # already longest-first
+        pack = pack_streams(db, order, 1, win=1024, jb=4, grain=4)
+        # The tail segment must start at the very last block for this test
+        # to exercise what it claims; grain=4 == jb makes it 1 block long.
+        starts = np.nonzero(pack.fs[:, 0, 0])[0]
+        assert len(starts) == 1 and starts[0] == pack.fs.shape[0] - 1
+        out = np.asarray(
+            sw_pallas_stream(
+                prof,
+                pack.streams,
+                pack.fs,
+                sc.gap_open_total,
+                sc.gap_extend,
+                nslots=2,
+                nw=1,
+                jb=4,
+                ui=4,
+                interpret=True,
+            )
+        )
+        scores = np.zeros(len(encoded), dtype=np.int32)
+        for slot, ids in enumerate(pack.slot_ids):
+            scores[ids] = out[slot][: len(ids)]
+        lb = int(db.lengths.max())
+        flat = np.full((lb, len(encoded)), PAD_INDEX, dtype=np.int32)
+        for i, e in enumerate(encoded):
+            flat[: len(e), i] = e
+        want = np.asarray(
+            sw_wavefront(prof, flat, sc.gap_open_total, sc.gap_extend)
+        )
+        np.testing.assert_array_equal(scores, want)
