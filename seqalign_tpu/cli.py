@@ -203,9 +203,21 @@ def main(argv: list[str] | None = None) -> int:
                 i += 1
             elif al == "--lanes":
                 lanes = _parse_int(args[i + 1])
+                if lanes is None or lanes <= 0:
+                    return _usage_exit(
+                        prog, scoring,
+                        f"Invalid --lanes argument ('{args[i+1]}') "
+                        "must be a positive int",
+                    )
                 i += 1
             elif al == "--topk":
                 topk = _parse_int(args[i + 1])
+                if topk is None or topk <= 0:
+                    return _usage_exit(
+                        prog, scoring,
+                        f"Invalid --topk argument ('{args[i+1]}') "
+                        "must be a positive int",
+                    )
                 i += 1
             elif al == "--minscore":
                 minscore = _parse_int(args[i + 1])
@@ -220,6 +232,12 @@ def main(argv: list[str] | None = None) -> int:
                 i += 1
             elif al == "--stream-chunk":
                 stream_chunk = _parse_int(args[i + 1])
+                if stream_chunk is None or stream_chunk <= 0:
+                    return _usage_exit(
+                        prog, scoring,
+                        f"Invalid --stream-chunk argument ('{args[i+1]}') "
+                        "must be a positive int",
+                    )
                 i += 1
             elif al == "--trace":
                 trace_dir = args[i + 1]

@@ -123,6 +123,7 @@ def _run_block(
     nq: int = 1,
     lqe: int | None = None,
     bnd=None,
+    pipe: int = 0,
 ):
     """Advance the DP over one j-block (JB db positions x all query rows).
 
@@ -138,6 +139,19 @@ def _run_block(
     the S-matmul across queries — the big win for short queries — and is
     the capability the reference lacks entirely (one query per run,
     ``src/alignment_cmdline.c:355-360``).
+
+    S-production pipelining (``pipe``): the round-1 isolation study
+    (docs/DESIGN.md "The S-path wall") showed the serialized
+    produce-S-then-run-DP phases leave the substitution matmul's result
+    stream with nothing to co-issue against. Because the chunk loop is
+    Python-unrolled, the double-buffer parity is *static* (no dynamic
+    indices, the round-1 blocker): ``pipe`` requires ``ic == ui`` (one row
+    group per chunk, emitted as straight-line code with no fori_loop
+    boundary) and ``s_buf`` allocated with a leading ``2*nw`` windows.
+      pipe=1: issue chunk c+1's dots (into parity (c+1)%2) before chunk c's
+              DP rows, leaving the scheduler free to overlap them;
+      pipe=2: additionally spread chunk c+1's per-(w,t) dots between chunk
+              c's DP rows at source level (explicit software pipelining).
     """
     if lqe is None:
         lqe = lqp
@@ -171,88 +185,183 @@ def _run_block(
                 state_ref[w, 2 * t + 1] = bnd_vals[w][t][1]
             state_ref[w, 2 * jb] = t0_vals[w]
 
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (ALPHA, sl, LANES), 0)
-    # One-hot encodings are chunk-invariant: build once per grid step.
-    onehots = [
-        [(c_iota == d[w, t][None]).astype(jnp.bfloat16) for t in range(jb)]
-        for w in range(nw)
-    ]
+    if pipe == 5:
+        # Fused production: one (IC,32)@(32, JB*SL, LANES) dot per window
+        # covers all JB db positions (4x fewer dots, same result volume).
+        c_iota5 = jax.lax.broadcasted_iota(
+            jnp.int32, (ALPHA, jb * sl, LANES), 0
+        )
+        onehots_w = [
+            (
+                c_iota5 == d[w].reshape(jb * sl, LANES)[None]
+            ).astype(jnp.bfloat16)
+            for w in range(nw)
+        ]
+    else:
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (ALPHA, sl, LANES), 0)
+        # One-hot encodings are chunk-invariant: build once per grid step.
+        onehots = [
+            [(c_iota == d[w, t][None]).astype(jnp.bfloat16) for t in range(jb)]
+            for w in range(nw)
+        ]
 
-    def make_body(c):
-        def body(g, carry):
-            base = c * ic + g * ui
-            if nq > 1:
-                qidx = base // lqe
+    def dot_one(c, w, t):
+        # Substitution scores for query rows [c*IC, c*IC+IC) x db position
+        # (w, t): one-hot matmul on the MXU (exact; see module docstring).
+        p_chunk = prof_ref[pl.ds(c * ic, ic), :]  # (IC, 32) bf16
+        return jax.lax.dot_general(
+            p_chunk,
+            onehots[w][t],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (IC, SL, LANES) f32
+
+    def produce_one(c, w, t, sbase):
+        r = dot_one(c, w, t)
+        if s_buf.dtype == jnp.bfloat16:  # pipe=4: halve S store/load traffic
+            r = r.astype(jnp.bfloat16)
+        s_buf[sbase + w, t] = r
+
+    def produce_w(c, w, sbase):
+        # pipe=5: all JB positions of window w in one dot; the output
+        # (IC, JB*SL, LANES) layout matches s_buf directly.
+        p_chunk = prof_ref[pl.ds(c * ic, ic), :]
+        s_buf[sbase + w] = jax.lax.dot_general(
+            p_chunk,
+            onehots_w[w],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def produce(c, sbase):
+        for w in range(nw):
+            if pipe == 5:
+                produce_w(c, w, sbase)
+            else:
+                for t in range(jb):
+                    produce_one(c, w, t, sbase)
+
+    def emit_group(c, g, sbase, hook=None, svals=None):
+        """DP over rows [c*ic + g*ui, +ui). ``g`` may be a Python int
+        (straight-line emission, pipe mode) or traced (fori_loop body).
+        ``hook(u)`` lets pipe=2 interleave next-chunk S dots between rows;
+        ``svals`` (pipe=3) supplies S as in-register dot results instead of
+        the VMEM s_buf round-trip."""
+        base = c * ic + g * ui
+        static = isinstance(base, int)
+        if nq > 1:
+            qidx = base // lqe
+            if static:
+                if base % lqe == 0 and base > 0:
+                    reset_chain()
+            else:
                 # A new query starts here: cut the left/diagonal chain.
                 @pl.when(jnp.logical_and(base % lqe == 0, base > 0))
                 def _cut():
                     reset_chain()
-            else:
-                qidx = 0
-            lgg = [[state_ref[w, 2 * t] for t in range(jb)] for w in range(nw)]
-            lf = [
-                [state_ref[w, 2 * t + 1] for t in range(jb)] for w in range(nw)
-            ]
-            dt = [state_ref[w, 2 * jb] for w in range(nw)]
-            gmax = [zero for _ in range(nw)]
-            for u in range(ui):
-                i = base + u
-                gg_prev = [row_gg[w, i] for w in range(nw)]
-                e_prev = [row_e[w, i] for w in range(nw)]
-                # Diagonal chain: row i's t=0 diagonal is Gg at (previous
-                # block's last t, i-1); row i+1's is this row's pre-update
-                # row_gg[i] — captured here before the sweep overwrites it.
-                t0n = gg_prev
-                for t in range(jb):
-                    s = [s_buf[w, t, i - c * ic] for w in range(nw)]
-                    hp = [dt[w] + s[w] for w in range(nw)]  # H' = G_d + s
-                    e = [
-                        jnp.maximum(gg_prev[w], e_prev[w] + ge_f)
+        else:
+            qidx = 0
+        lgg = [[state_ref[w, 2 * t] for t in range(jb)] for w in range(nw)]
+        lf = [
+            [state_ref[w, 2 * t + 1] for t in range(jb)] for w in range(nw)
+        ]
+        dt = [state_ref[w, 2 * jb] for w in range(nw)]
+        gmax = [zero for _ in range(nw)]
+        for u in range(ui):
+            i = base + u
+            gg_prev = [row_gg[w, i] for w in range(nw)]
+            e_prev = [row_e[w, i] for w in range(nw)]
+            # Diagonal chain: row i's t=0 diagonal is Gg at (previous
+            # block's last t, i-1); row i+1's is this row's pre-update
+            # row_gg[i] — captured here before the sweep overwrites it.
+            t0n = gg_prev
+            for t in range(jb):
+                if svals is not None:
+                    s = [svals[w][t][i - c * ic] for w in range(nw)]
+                elif pipe == 5:
+                    s = [
+                        s_buf[sbase + w, i - c * ic, t * sl : (t + 1) * sl]
                         for w in range(nw)
                     ]
-                    f = [
-                        jnp.maximum(lgg[w][t], lf[w][t] + ge_f)
+                else:
+                    s = [
+                        s_buf[sbase + w, t, i - c * ic].astype(jnp.float32)
                         for w in range(nw)
                     ]
-                    t1 = [jnp.maximum(hp[w], e[w]) for w in range(nw)]
-                    t2 = [jnp.maximum(f[w], zero) for w in range(nw)]
-                    gv = [jnp.maximum(t1[w], t2[w]) for w in range(nw)]
-                    gmax = [jnp.maximum(gmax[w], gv[w]) for w in range(nw)]
-                    gg = [gv[w] + go_f for w in range(nw)]
-                    for w in range(nw):
-                        dt[w] = lgg[w][t]  # diagonal for t+1: Gg(t, i-1)
-                        lgg[w][t] = gg[w]
-                        lf[w][t] = f[w]
-                    gg_prev = gg
-                    e_prev = e
-                dt = t0n
+                hp = [dt[w] + s[w] for w in range(nw)]  # H' = G_d + s
+                e = [
+                    jnp.maximum(gg_prev[w], e_prev[w] + ge_f)
+                    for w in range(nw)
+                ]
+                f = [
+                    jnp.maximum(lgg[w][t], lf[w][t] + ge_f)
+                    for w in range(nw)
+                ]
+                t1 = [jnp.maximum(hp[w], e[w]) for w in range(nw)]
+                t2 = [jnp.maximum(f[w], zero) for w in range(nw)]
+                gv = [jnp.maximum(t1[w], t2[w]) for w in range(nw)]
+                gmax = [jnp.maximum(gmax[w], gv[w]) for w in range(nw)]
+                gg = [gv[w] + go_f for w in range(nw)]
                 for w in range(nw):
-                    row_gg[w, i] = gg_prev[w]
-                    row_e[w, i] = e_prev[w]
+                    dt[w] = lgg[w][t]  # diagonal for t+1: Gg(t, i-1)
+                    lgg[w][t] = gg[w]
+                    lf[w][t] = f[w]
+                gg_prev = gg
+                e_prev = e
+            dt = t0n
             for w in range(nw):
-                for t in range(jb):
-                    state_ref[w, 2 * t] = lgg[w][t]
-                    state_ref[w, 2 * t + 1] = lf[w][t]
-                state_ref[w, 2 * jb] = dt[w]
-                best_ref[w, qidx] = jnp.maximum(best_ref[w, qidx], gmax[w])
-            return carry
-
-        return body
-
-    for c in range(nc):
-        # Substitution scores for query rows [c*IC, c*IC+IC) x this j-block:
-        # one-hot matmul on the MXU (exact; see module docstring).
-        p_chunk = prof_ref[pl.ds(c * ic, ic), :]  # (IC, 32) bf16
+                row_gg[w, i] = gg_prev[w]
+                row_e[w, i] = e_prev[w]
+            if hook is not None:
+                hook(u)
         for w in range(nw):
             for t in range(jb):
-                s_buf[w, t] = jax.lax.dot_general(
-                    p_chunk,
-                    onehots[w][t],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (IC, SL, LANES) f32
-        groups = min(ic, lqp - c * ic) // ui
-        jax.lax.fori_loop(0, groups, make_body(c), jnp.zeros((), jnp.int32))
+                state_ref[w, 2 * t] = lgg[w][t]
+                state_ref[w, 2 * t + 1] = lf[w][t]
+            state_ref[w, 2 * jb] = dt[w]
+            best_ref[w, qidx] = jnp.maximum(best_ref[w, qidx], gmax[w])
+
+    if pipe:
+        # Static-parity software pipelining: ic == ui (one group per chunk),
+        # everything straight-line, chunk c's DP reads parity c%2 while
+        # chunk c+1's dots fill parity (c+1)%2.
+        if ic != ui:
+            raise ValueError(f"pipe mode requires ic == ui (got {ic=}, {ui=})")
+        wt_pairs = [(w, t) for w in range(nw) for t in range(jb)]
+        per_row = -(-len(wt_pairs) // ui)
+        if pipe == 3:
+            # Direct-value consumption: dot results feed the DP adds without
+            # the VMEM store+load round trip (register pressure permitting).
+            for c in range(nc):
+                svals = [[dot_one(c, w, t) for t in range(jb)] for w in range(nw)]
+                emit_group(c, 0, 0, svals=svals)
+            return
+        produce(0, 0)
+        for c in range(nc):
+            sb_cur = (c % 2) * nw
+            sb_nxt = ((c + 1) % 2) * nw
+            if c + 1 >= nc:
+                emit_group(c, 0, sb_cur)
+            elif pipe in (1, 4, 5):  # 4: bf16 s_buf; 5: per-window fused dots
+                produce(c + 1, sb_nxt)
+                emit_group(c, 0, sb_cur)
+            else:  # pipe == 2: spread next-chunk dots across this chunk's rows
+
+                def hook(u, c=c, sb=sb_nxt):
+                    for w, t in wt_pairs[u * per_row : (u + 1) * per_row]:
+                        produce_one(c + 1, w, t, sb)
+
+                emit_group(c, 0, sb_cur, hook)
+    else:
+        for c in range(nc):
+            produce(c, 0)
+            groups = min(ic, lqp - c * ic) // ui
+            jax.lax.fori_loop(
+                0,
+                groups,
+                lambda g, carry, c=c: (emit_group(c, g, 0), carry)[1],
+                jnp.zeros((), jnp.int32),
+            )
 
 
 def _kernel(
@@ -475,11 +584,14 @@ class KernelConfig:
     jb: int  # db positions per register chain
     ui: int  # unrolled query rows per loop iteration
     ic: int  # query rows per substitution chunk
+    pipe: int = 0  # S-production pipelining mode (0 off, 1 block, 2 row)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("go", "ge", "sl", "nw", "jb", "ic", "ui", "interpret"),
+    static_argnames=(
+        "go", "ge", "sl", "nw", "jb", "ic", "ui", "pipe", "interpret",
+    ),
 )
 def sw_pallas_windows(
     profile: jax.Array,
@@ -492,6 +604,7 @@ def sw_pallas_windows(
     jb: int = DEFAULT_JB,
     ic: int | None = None,
     ui: int = DEFAULT_UI,
+    pipe: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Score one or more queries against NW stacked lane-batch windows.
@@ -548,7 +661,7 @@ def sw_pallas_windows(
 
     kernel = functools.partial(
         _kernel, lqp=lqp, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui, nc=nc,
-        go=int(go), ge=int(ge), nq=nq, lqe=lqe,
+        go=int(go), ge=int(ge), nq=nq, lqe=lqe, pipe=pipe,
     )
     out = pl.pallas_call(
         kernel,
@@ -572,7 +685,12 @@ def sw_pallas_windows(
         scratch_shapes=[
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
-            pltpu.VMEM((nw, jb, ic, sl, LANES), jnp.float32),
+            pltpu.VMEM(
+                (2 * nw, ic, jb * sl, LANES)
+                if pipe == 5
+                else ((2 if pipe in (1, 2, 4) else 1) * nw, jb, ic, sl, LANES),
+                jnp.bfloat16 if pipe == 4 else jnp.float32,
+            ),
             pltpu.VMEM((nw, nq, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, 2 * jb + 1, sl, LANES), jnp.float32),
         ],
@@ -594,7 +712,8 @@ def sw_pallas_windows(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "go", "ge", "nslots", "sl", "nw", "jb", "ic", "ui", "interpret",
+        "go", "ge", "nslots", "sl", "nw", "jb", "ic", "ui", "pipe",
+        "interpret",
     ),
 )
 def sw_pallas_stream(
@@ -610,6 +729,7 @@ def sw_pallas_stream(
     jb: int = DEFAULT_JB,
     ic: int | None = None,
     ui: int = DEFAULT_UI,
+    pipe: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Score one or more queries against a segmented database in one dispatch.
@@ -662,7 +782,7 @@ def sw_pallas_stream(
 
     kernel = functools.partial(
         _kernel_stream, lqp=lqp, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui, nc=nc,
-        go=int(go), ge=int(ge), nq=nq, lqe=lqe,
+        go=int(go), ge=int(ge), nq=nq, lqe=lqe, pipe=pipe,
     )
     out = pl.pallas_call(
         kernel,
@@ -685,7 +805,12 @@ def sw_pallas_stream(
         scratch_shapes=[
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
-            pltpu.VMEM((nw, jb, ic, sl, LANES), jnp.float32),
+            pltpu.VMEM(
+                (2 * nw, ic, jb * sl, LANES)
+                if pipe == 5
+                else ((2 if pipe in (1, 2, 4) else 1) * nw, jb, ic, sl, LANES),
+                jnp.bfloat16 if pipe == 4 else jnp.float32,
+            ),
             pltpu.VMEM((nw, nq, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, 2 * jb + 1, sl, LANES), jnp.float32),
             pltpu.VMEM((nq, sl, LANES), jnp.int32),
@@ -851,13 +976,23 @@ def supported_scoring(profile: np.ndarray | jax.Array, go: int, ge: int) -> bool
     """True if this (profile, gaps) pair is exactly representable here.
 
     Requires ge >= go (gap_open <= 0, always true for the reference's
-    scoring conventions) and the biased profile within bf16's exact-integer
-    range. Callers route unsupported systems to the XLA engine.
+    scoring conventions), the biased profile within bf16's exact-integer
+    range, and every attainable DP value within f32's exact-integer range:
+    scores only grow along aligned pairs, so ``max G <= Lq * max(P)+``; the
+    striped kernel removes the Lq cap MAX_QUERY_ROWS once enforced, so a
+    multi-megaresidue query with large positive scores could otherwise
+    exceed 2**24 and silently round. Callers route unsupported systems to
+    the int32 XLA engine.
     """
     if ge < go:
         return False
-    pmax = float(jnp.max(jnp.abs(profile.astype(jnp.float32) - go)))
-    return pmax <= _BF16_EXACT
+    prof = np.asarray(profile, dtype=np.float64)
+    pmax = float(np.max(np.abs(prof - go))) if prof.size else 0.0
+    if pmax > _BF16_EXACT:
+        return False
+    lq = prof.shape[-2] if prof.ndim >= 2 else 0
+    smax = float(np.max(prof, initial=0.0))
+    return lq * smax < 2**24
 
 
 def sw_pallas_multi(

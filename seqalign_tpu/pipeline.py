@@ -241,9 +241,40 @@ def search_database_multi(
     return scores, kernel_time
 
 
+def _pick_query_block(lq: int, nq: int) -> int | None:
+    """Pick the per-dispatch query-block size for multi-query batching.
+
+    Larger blocks amortize the per-db-position S production over more
+    queries; more interleaved windows feed the VPU pipeline. Both trade off
+    against the same VMEM row budget (rows = 2*nq_b*lqe*nw*4KB), so the
+    heuristic maximizes ``nq_b * nw`` and breaks ties toward the candidates
+    measured fastest on v5e (mid-size blocks keep several windows).
+    Returns None when not even a single query fits (caller falls back).
+    """
+    from .ops.swa_pallas import choose_config
+
+    best = None
+    for nq_b in (16, 8, 32, 24, 64, 48, 12, 6, 4, 3, 2, 1):
+        if nq_b > nq:
+            continue
+        cfg = choose_config(lq, nq=nq_b, reserve=1 << 20)
+        if cfg is None:
+            continue
+        score = nq_b * cfg.nw
+        if best is None or score > best[0]:
+            best = (score, nq_b)
+    return best[1] if best else None
+
+
 # Output slots per stream dispatch. The output lives in HBM (DMA-flushed),
 # so this only bounds host-side chunk memory; shapes round up for reuse.
 MAX_STREAM_SLOTS = 4096
+
+# Striped (long-query) scans stream (Gg, F) stripe boundaries through HBM at
+# ~8 B per database residue per direction; cap residues per dispatch so
+# in+out boundary arrays stay ~2 GB and never OOM 16 GB HBM (a 4.2M-record
+# Swiss-Prot-length chunk would need >20 GB).
+STRIPED_CHUNK_RESIDUES = 128 << 20
 
 
 def _stream_search(
@@ -277,15 +308,50 @@ def _stream_search(
     win = WINDOW_LANES
     scores = np.zeros((nq, n) if multi else n, dtype=np.int32)
     kernel_time = 0.0
-    slots_cap = max(32, MAX_STREAM_SLOTS // nq)
+
+    # Query blocking: a batch larger than the VMEM row budget (e.g. the
+    # 64-query north-star config at lq=144) runs in blocks of ``nq_b``
+    # queries looped over the SAME device-resident packed streams — the
+    # packing/transfer cost is paid once, and every block still amortizes
+    # the per-db-position one-hot build + S-matmul across nq_b queries.
+    nq_b = nq
+    if multi:
+        nq_b = _pick_query_block(lq, nq)
+        if nq_b is None:
+            return None  # not even one query fits: caller falls back
+    n_blocks = -(-nq // nq_b)
+    if multi and n_blocks > 1:
+        pad = n_blocks * nq_b - nq
+        profile = np.pad(np.asarray(profile), ((0, pad), (0, 0), (0, 0)))
+
+    slots_cap = max(32, MAX_STREAM_SLOTS // nq_b)
     per_chunk = slots_cap * win
     ckpt = (
-        _ScanCheckpoint(checkpoint_dir, profile, db, go, ge)
+        _ScanCheckpoint(checkpoint_dir, profile, db, go, ge, order)
         if checkpoint_dir
         else None
     )
-    for start in range(0, n, per_chunk):
-        chunk = order[start : start + per_chunk]
+    from .ops.swa_pallas import MAX_QUERY_ROWS as _MQR
+
+    if lq > _MQR:
+        # Striped scan: also bound each chunk by total residues (boundary
+        # HBM traffic is per-residue; see STRIPED_CHUNK_RESIDUES). Chunk
+        # ends stay lane-group (win) aligned.
+        csum = np.cumsum(db.lengths[order], dtype=np.int64)
+        starts = [0]
+        while starts[-1] < n:
+            s = starts[-1]
+            base = csum[s - 1] if s else 0
+            e = int(np.searchsorted(csum, base + STRIPED_CHUNK_RESIDUES))
+            e = min(max(s + win, -(-e // win) * win), s + per_chunk, n)
+            starts.append(e)
+        chunk_bounds = list(zip(starts[:-1], starts[1:]))
+    else:
+        chunk_bounds = [
+            (s, min(s + per_chunk, n)) for s in range(0, n, per_chunk)
+        ]
+    for start, stop in chunk_bounds:
+        chunk = order[start:stop]
         if ckpt is not None:
             done = ckpt.load(start)
             if done is not None:
@@ -317,11 +383,18 @@ def _stream_search(
         # Mosaic occasionally rejects tile shapes outside the validated
         # grid (docs/DESIGN.md); on a compile failure retry with fewer
         # windows before giving the chunk up to the XLA engine.
+        if multi and n_blocks > 1:
+            prof_blocks = [
+                np.ascontiguousarray(profile[b * nq_b : (b + 1) * nq_b])
+                for b in range(n_blocks)
+            ]
+        else:
+            prof_blocks = [np.asarray(profile)]
         run = None
         retry_cap = nw_cap
         while run is None:
             cfg = choose_config(
-                cfg_lq, reserve=reserve, nq=nq, nw_max=retry_cap
+                cfg_lq, reserve=reserve, nq=nq_b, nw_max=retry_cap
             )
             if cfg is None:  # nothing fits VMEM: caller falls back to XLA
                 return None
@@ -329,8 +402,8 @@ def _stream_search(
             pack = pack_streams(db, chunk, nw, win=win, jb=cfg.jb, grain=16)
             streams_dev = jax.device_put(pack.streams)
             fs_dev = jax.device_put(pack.fs)
-            prof_dev = jax.device_put(np.asarray(profile))
-            jax.block_until_ready([streams_dev, fs_dev, prof_dev])
+            prof_devs = [jax.device_put(p) for p in prof_blocks]
+            jax.block_until_ready([streams_dev, fs_dev, prof_devs])
 
             try:
                 if striped:
@@ -340,38 +413,52 @@ def _stream_search(
                         nslots=nslots_c, nw=nw, jb=cfg.jb, ui=cfg.ui,
                         ic=cfg.ic, stripe_rows=stripe_rows,
                     )
-                    run = lambda: sw_pallas_stream_striped(
-                        prof_dev, streams_dev, fs_dev, go, ge, **kw
+                    run = lambda pd: sw_pallas_stream_striped(
+                        pd, streams_dev, fs_dev, go, ge, **kw
                     )
-                    np.asarray(run())  # warm per-stripe compiles (untimed)
+                    np.asarray(run(prof_devs[0]))  # warm compiles (untimed)
                 else:
                     kw = dict(
                         nslots=nslots_c, nw=nw, jb=cfg.jb, ui=cfg.ui,
-                        ic=cfg.ic,
+                        ic=cfg.ic, pipe=cfg.pipe,
                     )
                     # AOT-compile outside the timed region: the reference's
                     # timer also excludes everything but the kernel loop
-                    # (src/alignment_cmdline.c:503-509). Cached per shape.
+                    # (src/alignment_cmdline.c:503-509). Cached per shape,
+                    # shared by every query block (identical shapes).
                     lower = getattr(sw_pallas_stream, "lower", None)
                     if lower is not None:
                         compiled = lower(
-                            prof_dev, streams_dev, fs_dev, go, ge, **kw
+                            prof_devs[0], streams_dev, fs_dev, go, ge, **kw
                         ).compile()
-                        run = lambda: compiled(
-                            prof_dev, streams_dev, fs_dev
-                        )
+                        run = lambda pd: compiled(pd, streams_dev, fs_dev)
                     else:  # tests substitute an interpret-mode engine
-                        run = lambda: sw_pallas_stream(
-                            prof_dev, streams_dev, fs_dev, go, ge, **kw
+                        run = lambda pd: sw_pallas_stream(
+                            pd, streams_dev, fs_dev, go, ge, **kw
                         )
-            except Exception:
+            except (TypeError, AttributeError, NameError, IndexError):
+                raise  # genuine programming error, not a compile failure
+            except Exception as ex:
+                # Mosaic/XLA compile failures for off-grid tile shapes
+                # (docs/DESIGN.md "Known Mosaic constraints"). Surface each
+                # retry: silent degradation destroyed diagnosis in round 1.
+                import sys
+
+                print(
+                    f"Warning: stream kernel compile failed at nw={nw} "
+                    f"({type(ex).__name__}: {str(ex)[:200]}); "
+                    + ("falling back to the XLA engine."
+                       if nw <= 1 else f"retrying with nw={nw - 1}."),
+                    file=sys.stderr,
+                )
                 if nw <= 1:
                     return None
                 retry_cap = nw - 1
                 run = None
 
         t0 = time.perf_counter()
-        out = np.asarray(run())
+        outs = [run(pd) for pd in prof_devs]  # enqueue all blocks first
+        outs = [np.asarray(o) for o in outs]
         kernel_time += time.perf_counter() - t0
 
         chunk_scores = (
@@ -380,14 +467,18 @@ def _stream_search(
             else np.zeros(len(chunk), dtype=np.int32)
         )
         pos = {int(r): i for i, r in enumerate(chunk)}
-        for slot, ids in enumerate(pack.slot_ids):
-            local = [pos[int(r)] for r in ids]
-            if multi:
-                scores[:, ids] = out[slot, :, : len(ids)]
-                chunk_scores[:, local] = out[slot, :, : len(ids)]
-            else:
-                scores[ids] = out[slot][: len(ids)]
-                chunk_scores[local] = out[slot][: len(ids)]
+        for b, out in enumerate(outs):
+            q0 = b * nq_b
+            qn = min(nq_b, nq - q0)  # last block may hold zero-pad queries
+            for slot, ids in enumerate(pack.slot_ids):
+                local = [pos[int(r)] for r in ids]
+                if multi:
+                    blk = out[slot, :qn, : len(ids)]
+                    scores[q0 : q0 + qn, ids] = blk
+                    chunk_scores[q0 : q0 + qn, local] = blk
+                else:
+                    scores[ids] = out[slot][: len(ids)]
+                    chunk_scores[local] = out[slot][: len(ids)]
         if ckpt is not None:
             ckpt.save(start, chunk_scores)
     return scores, kernel_time
@@ -402,7 +493,7 @@ class _ScanCheckpoint:
     reference has no recovery story (single pass, exit(1) on error).
     """
 
-    def __init__(self, path, profile, db, go, ge):
+    def __init__(self, path, profile, db, go, ge, order):
         import hashlib
         import json
         import os
@@ -414,6 +505,10 @@ class _ScanCheckpoint:
         h.update(np.ascontiguousarray(db.offsets).tobytes())
         # Sampled content fingerprint: cheap but catches edits.
         h.update(np.ascontiguousarray(db.seq[:: max(1, len(db.seq) // 65536)]).tobytes())
+        # The chunk->record mapping depends on the sort order: a scan saved
+        # with sort=True must not resume a --no-sort scan (or vice versa) —
+        # the same chunk index would hold a different record permutation.
+        h.update(np.ascontiguousarray(order).tobytes())
         h.update(str((int(go), int(ge))).encode())
         self.key = h.hexdigest()[:16]
         self.manifest = os.path.join(path, "manifest.json")

@@ -1,0 +1,118 @@
+"""Multi-host driver tests: real 2-process runs over jax.distributed.
+
+The reference's only coarse parallelism is an OpenMP loop
+(``src/alignment_cmdline.c:504-507``); `multihost_search` is its pod-scale
+replacement. These tests launch two actual OS processes on the CPU backend
+(one coordinator + one worker), stripe a FASTA database between them, and
+assert the DCN-merged result equals the single-process search bit-for-bit.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from conftest import random_protein
+
+REPO = Path(__file__).resolve().parents[1]
+WORKER = REPO / "tests" / "_multihost_worker.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _write_fixtures(rng, tmp_path, n_records=600):
+    qp = tmp_path / "q.fa"
+    dp = tmp_path / "db.fa"
+    qp.write_text(f">q\n{random_protein(rng, 11)}\n")
+    with open(dp, "w") as f:
+        for i in range(n_records):
+            f.write(f">r{i}\n{random_protein(rng, int(rng.integers(1, 30)))}\n")
+    return str(qp), str(dp)
+
+
+def _run_workers(tmp_path, qp, dp, nproc=2, topk=0):
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    procs = []
+    outs = []
+    for pid in range(nproc):
+        ext = "npz" if topk else "npy"
+        out = str(tmp_path / f"scores_{pid}.{ext}")
+        outs.append(out)
+        cmd = [
+            sys.executable, str(WORKER),
+            "--coordinator", coord, "--nproc", str(nproc),
+            "--pid", str(pid), "--query", qp, "--db", dp, "--out", out,
+        ]
+        if topk:
+            cmd += ["--topk", str(topk)]
+        procs.append(
+            subprocess.Popen(
+                cmd, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True,
+            )
+        )
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+    return outs
+
+
+@pytest.mark.slow
+class TestMultihost:
+    def test_two_process_full_scores(self, rng, blosum62, tmp_path):
+        qp, dp = _write_fixtures(rng, tmp_path)
+        outs = _run_workers(tmp_path, qp, dp, nproc=2)
+        from seqalign_tpu.pipeline import search_files
+
+        want = search_files(qp, dp, blosum62, engine="wavefront").scores
+        for out in outs:  # every host holds the identical global vector
+            got = np.load(out)
+            np.testing.assert_array_equal(got, want)
+
+    def test_two_process_topk(self, rng, blosum62, tmp_path):
+        qp, dp = _write_fixtures(rng, tmp_path, n_records=400)
+        k = 7
+        outs = _run_workers(tmp_path, qp, dp, nproc=2, topk=k)
+        from seqalign_tpu.pipeline import search_files
+
+        want = search_files(qp, dp, blosum62, engine="wavefront").scores
+        best = np.sort(want)[::-1][:k]
+        for out in outs:
+            z = np.load(out)
+            vals, ids = z["vals"], z["ids"]
+            np.testing.assert_array_equal(np.sort(vals)[::-1], best)
+            # Reported ids really score what they claim.
+            np.testing.assert_array_equal(want[ids], vals)
+
+    def test_single_process_path(self, rng, blosum62, tmp_path):
+        """nproc=1 short-circuits the collective but uses the same driver."""
+        import functools
+
+        from seqalign_tpu.ops.swa_pallas import sw_pallas_stream
+        from seqalign_tpu.parallel.multihost import multihost_search
+        from seqalign_tpu.pipeline import search_files
+        from seqalign_tpu.utils.fasta import read_first
+
+        qp, dp = _write_fixtures(rng, tmp_path, n_records=200)
+        q = blosum62.query_indices(read_first(qp).seq)
+        engine_fn = functools.partial(sw_pallas_stream, interpret=True)
+        got, _ = multihost_search(q, dp, blosum62, engine_fn=engine_fn)
+        want = search_files(qp, dp, blosum62, engine="wavefront").scores
+        np.testing.assert_array_equal(got, want)

@@ -55,6 +55,31 @@ class TestChooseConfig:
                 assert choose_config(lq, nw=nw).nw == nw
 
 
+class TestSupportedScoring:
+    def test_f32_exactness_bound(self):
+        """Queries whose max attainable score reaches 2**24 must be routed
+        to the int32 XLA engine: the striped kernel has no length cap, and
+        f32 integer exactness ends at 2**24 (ADVICE round 1)."""
+        from seqalign_tpu.ops.swa_pallas import supported_scoring
+
+        lq_bad = 2**24 // 17 + 1
+        prof_small = np.full((64, 32), 17, dtype=np.int32)
+        assert supported_scoring(prof_small, -3, -1)
+        prof_long = np.full((lq_bad, 32), 17, dtype=np.int32)
+        assert not supported_scoring(prof_long, -3, -1)
+        # All-nonpositive tables can never accumulate: any length is fine.
+        prof_neg = np.full((lq_bad, 32), -4, dtype=np.int32)
+        assert supported_scoring(prof_neg, -3, -1)
+
+    def test_bf16_and_gap_envelope(self):
+        from seqalign_tpu.ops.swa_pallas import supported_scoring
+
+        prof = np.full((16, 32), 300, dtype=np.int32)
+        assert not supported_scoring(prof, -3, -1)  # beyond bf16-exact
+        prof = np.full((16, 32), 4, dtype=np.int32)
+        assert not supported_scoring(prof, -1, -2)  # ge < go
+
+
 @pytest.mark.slow
 class TestPallasInterpret:
     def test_matches_wavefront_tiny(self, rng, blosum62):
@@ -79,6 +104,57 @@ class TestPallasInterpret:
             sw_wavefront(prof, db, sc.gap_open_total, sc.gap_extend)
         )
         np.testing.assert_array_equal(got[:40], want[:40])
+
+    def test_pipe_modes_match_wavefront(self, rng, blosum62):
+        """S-production pipelining (pipe=1/2) is bit-identical to pipe=0."""
+        sc = blosum62
+        q = sc.query_indices(random_protein(rng, 11))
+        prof = make_profile(sc.table, q)
+        seqs = [
+            encode(random_protein(rng, int(rng.integers(1, 10))))
+            for _ in range(50)
+        ]
+        db = np.full((12, 1024), PAD_INDEX, dtype=np.int32)
+        for k, s in enumerate(seqs):
+            db[: len(s), k] = s
+        want = np.asarray(
+            sw_wavefront(prof, db, sc.gap_open_total, sc.gap_extend)
+        )
+        for pipe in (1, 2):
+            got = np.asarray(
+                sw_pallas_windows(
+                    prof, db[None], sc.gap_open_total, sc.gap_extend,
+                    nw=1, jb=4, ui=4, ic=4, pipe=pipe, interpret=True,
+                )
+            )
+            np.testing.assert_array_equal(got[:50], want[:50])
+
+    def test_pipe_multiquery(self, rng, blosum62):
+        """pipe mode with batched queries: static chain cuts stay exact."""
+        sc = blosum62
+        nq = 2
+        queries = [random_protein(rng, 6) for _ in range(nq)]
+        profs = np.zeros((nq, 6, 32), dtype=np.int32)
+        for k, q in enumerate(queries):
+            profs[k] = make_profile(sc.table, sc.query_indices(q))
+        seqs = [
+            encode(random_protein(rng, int(rng.integers(1, 10))))
+            for _ in range(40)
+        ]
+        db = np.full((12, 1024), PAD_INDEX, dtype=np.int32)
+        for k, s in enumerate(seqs):
+            db[: len(s), k] = s
+        got = np.asarray(
+            sw_pallas_windows(
+                profs, db[None], sc.gap_open_total, sc.gap_extend,
+                nw=1, jb=4, ui=2, ic=2, pipe=1, interpret=True,
+            )
+        )
+        for k in range(nq):
+            want = np.asarray(
+                sw_wavefront(profs[k], db, sc.gap_open_total, sc.gap_extend)
+            )
+            np.testing.assert_array_equal(got[k, :40], want[:40])
 
     def test_multiquery_matches_wavefront(self, rng, blosum62):
         """NQ queries batched along the row dimension, one dispatch."""

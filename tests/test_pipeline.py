@@ -322,11 +322,19 @@ class TestStreamSearch:
     """The TPU stream path, exercised on CPU via Pallas interpret mode."""
 
     def test_matches_wavefront(self, rng, blosum62, monkeypatch):
+        # Call _stream_search directly: search_database would reroute the
+        # pallas engine to wavefront on non-TPU backends before reaching it,
+        # comparing the wavefront engine against itself.
         import functools
 
         import seqalign_tpu.ops.swa_pallas as sp
         from seqalign_tpu.models import encode
-        from seqalign_tpu.pipeline import search_encoded
+        from seqalign_tpu.ops.swa_xla import make_profile
+        from seqalign_tpu.pipeline import (
+            _db_from_encoded,
+            _stream_search,
+            search_encoded,
+        )
 
         monkeypatch.setattr(
             sp,
@@ -341,7 +349,12 @@ class TestStreamSearch:
             encode(random_protein(rng, int(rng.integers(1, 20))))
             for _ in range(2500)
         ]
-        got, _ = search_encoded(q, encoded, sc, engine="pallas")
+        db = _db_from_encoded(encoded)
+        profile = make_profile(sc.table, q)
+        order = np.argsort(-db.lengths, kind="stable")
+        got, _ = _stream_search(
+            profile, db, sc.gap_open_total, sc.gap_extend, order, None
+        )
         want, _ = search_encoded(q, encoded, sc, engine="wavefront")
         np.testing.assert_array_equal(got, want)
 
@@ -379,6 +392,53 @@ class TestStreamSearch:
             profs, db, sc.gap_open_total, sc.gap_extend, order, None
         )
         assert got.shape == (nq, 1500)
+        for k, q in enumerate(qs):
+            want, _ = search_encoded(q, encoded, sc, engine="wavefront")
+            np.testing.assert_array_equal(got[k], want)
+
+    def test_query_blocking(self, rng, blosum62, monkeypatch):
+        """More queries than fit one dispatch run in blocks over the same
+        packed streams (the 64-query north-star config, scaled down)."""
+        import functools
+
+        import seqalign_tpu.ops.swa_pallas as sp
+        import seqalign_tpu.pipeline as pl
+        from seqalign_tpu.models import encode
+        from seqalign_tpu.ops.swa_xla import make_profile
+        from seqalign_tpu.pipeline import (
+            _db_from_encoded,
+            _stream_search,
+            search_encoded,
+        )
+        from conftest import random_protein
+
+        monkeypatch.setattr(
+            sp,
+            "sw_pallas_stream",
+            functools.partial(sp.sw_pallas_stream, interpret=True),
+        )
+        # Force 3 blocks of 2 (incl. a zero-padded tail block).
+        monkeypatch.setattr(pl, "_pick_query_block", lambda lq, nq: 2)
+        sc = blosum62
+        nq = 5
+        qs = [
+            sc.query_indices(random_protein(rng, int(rng.integers(5, 12))))
+            for _ in range(nq)
+        ]
+        lqm = max(len(q) for q in qs)
+        profs = np.zeros((nq, lqm, 32), dtype=np.int32)
+        for k, q in enumerate(qs):
+            profs[k, : len(q)] = make_profile(sc.table, q)
+        encoded = [
+            encode(random_protein(rng, int(rng.integers(1, 15))))
+            for _ in range(1200)
+        ]
+        db = _db_from_encoded(encoded)
+        order = np.argsort(-db.lengths, kind="stable")
+        got, _ = _stream_search(
+            profs, db, sc.gap_open_total, sc.gap_extend, order, None
+        )
+        assert got.shape == (nq, 1200)
         for k, q in enumerate(qs):
             want, _ = search_encoded(q, encoded, sc, engine="wavefront")
             np.testing.assert_array_equal(got[k], want)
@@ -487,6 +547,13 @@ class TestStreamSearch:
             _stream_search(
                 prof, db, sc.gap_open_total - 1, sc.gap_extend, order, None,
                 checkpoint_dir=ck,
+            )
+        # A different record order (sort=True scan resumed as --no-sort)
+        # also invalidates it: chunk files index a permuted record set.
+        with pytest.raises(AssertionError):
+            _stream_search(
+                prof, db, sc.gap_open_total, sc.gap_extend,
+                np.arange(db.n), None, checkpoint_dir=ck,
             )
 
 

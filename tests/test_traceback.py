@@ -107,6 +107,94 @@ class TestTraceback:
         )[:3]
 
 
+class TestLocalizedTraceback:
+    """The linear-space recompute path for huge pairs (ends + rectangle)."""
+
+    @pytest.mark.parametrize("trial", range(6))
+    def test_matches_direct(self, rng, blosum62, monkeypatch, trial):
+        import seqalign_tpu.ops.traceback as tbm
+
+        sc = blosum62
+        q = encode(random_protein(rng, int(rng.integers(10, 60))))
+        d = encode(random_protein(rng, int(rng.integers(10, 400))))
+        direct = tbm._direct_traceback(
+            q, d, sc.table, sc.gap_open, sc.gap_extend
+        )
+        # Force every pair through the localized path.
+        monkeypatch.setattr(tbm, "_DIRECT_CELLS", 0)
+        loc = sw_traceback(q, d, sc.table, sc.gap_open, sc.gap_extend)
+        assert loc.score == direct.score
+        check_alignment_consistent(
+            loc, q, d, sc.table, sc.gap_open, sc.gap_extend
+        )
+
+    def test_no_cliff(self, rng, blosum62, monkeypatch):
+        """Pairs beyond the MAX_CELLS full-matrix cap now align in linear
+        space (the round-1 3 GB cliff, VERDICT item): localization bounds
+        the rectangle, and Myers-Miller handles whole-extent rectangles.
+        Thresholds are scaled down so the test runs in seconds; the
+        routing and algorithms are exactly the production ones."""
+        import seqalign_tpu.ops.traceback as tbm
+
+        sc = blosum62
+        monkeypatch.setattr(tbm, "_DIRECT_CELLS", 1 << 16)
+        monkeypatch.setattr(tbm, "MAX_CELLS", 1 << 18)
+        # With the reference's cheap gaps (-2/-1) random pairs this size
+        # have whole-extent optimal alignments -> rectangle ~= full matrix
+        # > MAX_CELLS -> the Myers-Miller path.
+        q = encode(random_protein(rng, 900))
+        d = encode(random_protein(rng, 1000))
+        assert (len(q) + 1) * (len(d) + 1) > tbm.MAX_CELLS
+        aln = sw_traceback(q, d, sc.table, sc.gap_open, sc.gap_extend)
+        check_alignment_consistent(
+            aln, q, d, sc.table, sc.gap_open, sc.gap_extend
+        )
+        # Same score as the (unpatched) full-matrix fill.
+        monkeypatch.setattr(tbm, "MAX_CELLS", 1 << 30)
+        direct = tbm._direct_traceback(
+            q, d, sc.table, sc.gap_open, sc.gap_extend
+        )
+        assert aln.score == direct.score
+
+    @pytest.mark.parametrize("trial", range(4))
+    def test_myers_miller_matches_direct(self, rng, blosum62, monkeypatch, trial):
+        """Force the Myers-Miller tier on modest pairs; bit-equal scores."""
+        import seqalign_tpu.ops.traceback as tbm
+
+        sc = blosum62
+        monkeypatch.setattr(tbm, "_DIRECT_CELLS", 1 << 10)
+        monkeypatch.setattr(tbm, "MAX_CELLS", 1 << 12)
+        monkeypatch.setattr(tbm, "_MM_BASE_CELLS", 1 << 8)
+        q = encode(random_protein(rng, int(rng.integers(40, 200))))
+        d = encode(random_protein(rng, int(rng.integers(40, 300))))
+        aln = sw_traceback(q, d, sc.table, sc.gap_open, sc.gap_extend)
+        check_alignment_consistent(
+            aln, q, d, sc.table, sc.gap_open, sc.gap_extend
+        )
+        monkeypatch.setattr(tbm, "MAX_CELLS", 1 << 30)
+        direct = tbm._direct_traceback(
+            q, d, sc.table, sc.gap_open, sc.gap_extend
+        )
+        assert aln.score == direct.score
+
+    def test_numpy_fallback_matches(self, rng, blosum62, monkeypatch):
+        import seqalign_tpu.ops.traceback as tbm
+
+        if not tbm.native_available():
+            pytest.skip("native library not built")
+        sc = blosum62
+        q = encode(random_protein(rng, 40))
+        d = encode(random_protein(rng, 200))
+        monkeypatch.setattr(tbm, "_DIRECT_CELLS", 0)
+        a = sw_traceback(q, d, sc.table, sc.gap_open, sc.gap_extend)
+        monkeypatch.setattr(tbm, "_lib", None)
+        monkeypatch.setattr(tbm, "_LIB_PATH", "/nonexistent")
+        b = sw_traceback(q, d, sc.table, sc.gap_open, sc.gap_extend)
+        assert (a.score, a.query_start, a.db_start, a.cigar) == (
+            b.score, b.query_start, b.db_start, b.cigar
+        )
+
+
 def test_align_pair(blosum62):
     from seqalign_tpu.ops.traceback import align_pair
 
