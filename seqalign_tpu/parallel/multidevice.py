@@ -72,6 +72,13 @@ def multi_device_search(
     from ..utils.packing import pack_streams
 
     devices = list(jax.devices() if devices is None else devices)
+    if engine_fn is None and jax.default_backend() != "tpu":
+        # Off-TPU (CPU meshes, tests, multi-host CPU validation) the
+        # compiled Pallas kernel is unavailable: interpret mode keeps the
+        # same code path, scores identical.
+        import functools
+
+        engine_fn = functools.partial(sw_pallas_stream, interpret=True)
     multi = profile.ndim == 3
     nq = profile.shape[0] if multi else 1
     lq = int(profile.shape[-2])

@@ -101,6 +101,50 @@ class TestMultihost:
             # Reported ids really score what they claim.
             np.testing.assert_array_equal(want[ids], vals)
 
+    def test_cli_two_hosts(self, rng, blosum62, tmp_path):
+        """The --hosts CLI flag: two real worker processes, host 0 prints
+        the merged result identical to a single-process run."""
+        qp, dp = _write_fixtures(rng, tmp_path, n_records=300)
+        port = _free_port()
+        coord = f"127.0.0.1:{port}"
+        env = dict(os.environ)
+        env["SEQALIGN_PLATFORM"] = "cpu"
+        env.pop("XLA_FLAGS", None)
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "seqalign_tpu.cli",
+                    "--substitution_matrix", "BLOSUM62",
+                    "--hosts", "2", "--host-id", str(pid),
+                    "--coordinator", coord,
+                    "--files", qp, dp,
+                ],
+                env=env, cwd=str(REPO), stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True,
+            )
+            for pid in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            assert p.returncode == 0, f"CLI host failed:\n{err[-3000:]}"
+            outs.append(out)
+        from seqalign_tpu.pipeline import search_files
+
+        want = search_files(qp, dp, blosum62, engine="wavefront").scores
+        got = [
+            int(l.split()[-1])
+            for l in outs[0].splitlines()
+            if l.startswith("score:")
+        ]
+        assert got == [int(s) for s in want]
+        assert "score:" not in outs[1]  # only host 0 prints
+
     def test_single_process_path(self, rng, blosum62, tmp_path):
         """nproc=1 short-circuits the collective but uses the same driver."""
         import functools
