@@ -59,12 +59,18 @@ USAGE = """usage: {prog} [OPTIONS] [seq1 seq2]
     --lanes <n>          lane-batch width override
     --no-sort            do not length-sort the database (assume pre-sorted)
     --topk <n>           print only the n best-scoring entries
-    --all-queries        score EVERY query-file record (batched on-device)
+    --all-queries        score EVERY query-file record (batched on-device;
+                         on by default for multi-record query files)
     --align <k>          print gapped alignments + CIGAR for the k best hits
     --checkpoint <dir>   chunk-level resume state for huge scans
     --stream-chunk <n>   bounded-memory mode: process n db records at a time
     --trace <dir>        write a jax.profiler trace of the search
     --json               print results as one JSON object
+    --hosts <n>          multi-host run: total jax processes (with
+                         --host-id and --coordinator; DB striped per host,
+                         scores merged over DCN)
+    --host-id <i>        this process's id (0-based)
+    --coordinator <a:p>  jax.distributed coordinator address
 
  DETAILS:
   * Gap (of length N) penalty is: (open+N*extend)
@@ -102,6 +108,19 @@ def main(argv: list[str] | None = None) -> int:
     args = argv[1:]
     scoring = sw_default_scoring()
 
+    # SEQALIGN_PLATFORM=cpu|tpu forces the JAX backend via the config API
+    # (the JAX_PLATFORMS env var can lose to eager TPU plugin registration).
+    import os
+
+    plat = os.environ.get("SEQALIGN_PLATFORM")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
     if not args:
         return _usage_exit(prog, scoring, None)
     for a in args:
@@ -123,6 +142,9 @@ def main(argv: list[str] | None = None) -> int:
     as_json = False
     all_queries = False
     matrix_spec = None
+    hosts = None
+    host_id = None
+    coordinator = None
 
     i = 0
     n = len(args)
@@ -242,6 +264,27 @@ def main(argv: list[str] | None = None) -> int:
             elif al == "--trace":
                 trace_dir = args[i + 1]
                 i += 1
+            elif al == "--hosts":
+                hosts = _parse_int(args[i + 1])
+                if hosts is None or hosts <= 0:
+                    return _usage_exit(
+                        prog, scoring,
+                        f"Invalid --hosts argument ('{args[i+1]}') "
+                        "must be a positive int",
+                    )
+                i += 1
+            elif al == "--host-id":
+                host_id = _parse_int(args[i + 1])
+                if host_id is None or host_id < 0:
+                    return _usage_exit(
+                        prog, scoring,
+                        f"Invalid --host-id argument ('{args[i+1]}') "
+                        "must be a nonnegative int",
+                    )
+                i += 1
+            elif al == "--coordinator":
+                coordinator = args[i + 1]
+                i += 1
             elif al == "--align":
                 align_k = _parse_int(args[i + 1])
                 if align_k is None:
@@ -291,9 +334,42 @@ def main(argv: list[str] | None = None) -> int:
 
     from .pipeline import search_files
 
+    if hosts is not None and hosts > 1:
+        if host_id is None or coordinator is None:
+            return _usage_exit(
+                prog, scoring,
+                "--hosts requires --host-id and --coordinator",
+            )
+        return _run_multihost(
+            file1, file2, scoring, topk, minscore, as_json,
+            hosts, host_id, coordinator,
+        )
+
+    if not all_queries and file1 != "-":
+        # Multi-record query files batch automatically (the reference reads
+        # only the first record, src/alignment_cmdline.c:355-360; batching
+        # every query through shared kernel dispatches is strictly more
+        # useful and the per-query output blocks keep parsers working).
+        # Modes tied to single-query semantics keep first-record behavior.
+        single_only = (
+            align_k is not None or stream_chunk is not None
+            or checkpoint is not None or print_seq or trace_dir is not None
+        )
+        if not single_only:
+            try:
+                from .utils.fasta import read_fasta
+
+                it = read_fasta(file1)
+                next(it)
+                has_second = next(it, None) is not None
+            except (OSError, ValueError, StopIteration):
+                has_second = False
+            if has_second:
+                all_queries = True
     if all_queries:
         return _run_multi(
-            file1, file2, scoring, engine, lanes, topk, as_json, print_fasta
+            file1, file2, scoring, engine, lanes, topk, as_json, print_fasta,
+            minscore=minscore,
         )
     if align_k is not None:
         return _run_align(
@@ -464,8 +540,65 @@ def _run_align(file1, file2, scoring, engine, lanes, k, as_json) -> int:
     return 0
 
 
+def _run_multihost(
+    file1, file2, scoring, topk, minscore, as_json, hosts, host_id,
+    coordinator,
+) -> int:
+    """--hosts mode: this process joins a multi-host search as one worker.
+
+    Every host reads its database stripe, scores it on its local chips, and
+    the merged global result (identical on every host) is printed by host 0
+    only. The pod-scale replacement for the reference's OpenMP loop
+    (src/alignment_cmdline.c:504-507).
+    """
+    from .parallel.multihost import multihost_search
+    from .utils.fasta import read_first
+
+    query = read_first(file1)
+    query_idx = scoring.query_indices(query.seq)
+    scores, kernel_time = multihost_search(
+        query_idx, file2, scoring,
+        coordinator_address=coordinator, num_processes=hosts,
+        process_id=host_id,
+    )
+    if host_id != 0:
+        return 0
+    out = sys.stdout
+    order = range(len(scores))
+    if topk is not None:
+        import numpy as np
+
+        order = list(np.argsort(-scores, kind="stable")[:topk])
+    if minscore is not None:
+        order = [k for k in order if scores[k] >= minscore]
+    if as_json:
+        import json
+
+        json.dump(
+            {
+                "query": query.name,
+                "hosts": hosts,
+                "entries": [
+                    {"entry": int(k), "score": int(scores[k])} for k in order
+                ],
+                "total_time": kernel_time,
+                "total_entries": len(scores),
+            },
+            out,
+        )
+        out.write("\n")
+        return 0
+    for k in order:
+        out.write(f"Entry #{k}:\n")
+        out.write(f"score: {int(scores[k])}\n\n")
+    out.write(f"Total Time: {kernel_time:f}\n")
+    out.write(f"Total Entries: {len(scores)}\n")
+    return 0
+
+
 def _run_multi(
-    file1, file2, scoring, engine, lanes, topk, as_json, print_fasta
+    file1, file2, scoring, engine, lanes, topk, as_json, print_fasta,
+    minscore=None,
 ) -> int:
     """--all-queries mode: one block of entries per query record."""
     from .pipeline import search_files_multi
@@ -482,11 +615,14 @@ def _run_multi(
     nq = len(result.query_names)
 
     def order_for(qi):
-        if topk is None:
-            return range(result.total_entries)
-        import numpy as np
+        order = range(result.total_entries)
+        if topk is not None:
+            import numpy as np
 
-        return list(np.argsort(-result.scores[qi], kind="stable")[:topk])
+            order = list(np.argsort(-result.scores[qi], kind="stable")[:topk])
+        if minscore is not None:
+            order = [k for k in order if result.scores[qi, k] >= minscore]
+        return order
 
     if as_json:
         import json

@@ -634,6 +634,32 @@ class TestCliExtensions:
         assert out.count("Query #") == 2
         assert out.count("score:") == 80
 
+    def test_multi_record_query_batches_by_default(self, files, tmp_path):
+        """A multi-record query file batches automatically — no flag needed
+        (the reference reads only the first record; VERDICT round-1 #6)."""
+        q, d = files
+        code, out, _ = run_cli(
+            ["--engine", "wavefront", "--files", q, d], tmp_path
+        )
+        assert code == 0
+        assert out.count("Query #") == 2
+        assert out.count("score:") == 80
+
+    def test_single_query_modes_keep_first_record(self, files, tmp_path):
+        """Modes with single-query semantics (--stream-chunk etc.) keep the
+        reference's first-record behavior."""
+        q, d = files
+        code, out, _ = run_cli(
+            [
+                "--engine", "wavefront", "--stream-chunk", "16",
+                "--files", q, d,
+            ],
+            tmp_path,
+        )
+        assert code == 0
+        assert out.count("Query #") == 0
+        assert out.count("score:") == 40
+
     def test_all_queries_json(self, files, tmp_path):
         import json
 
@@ -693,6 +719,11 @@ class TestCliExtensions:
 
     def test_stream_chunk_matches(self, files, tmp_path):
         q, d = files
+        # Single-record query: --stream-chunk keeps first-record semantics
+        # while the default path would batch a multi-record file.
+        q1 = tmp_path / "q1.fa"
+        q1.write_text("".join(open(q).read().split(">q1")[0]))
+        q = str(q1)
         _, a, _ = run_cli(
             ["--engine", "wavefront", "--files", q, d], tmp_path
         )
