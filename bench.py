@@ -46,6 +46,17 @@ N_ENTRIES = 565_247
 BASELINE_GCUPS = 43.0  # reference best (64T Xeon 6242), see module docstring
 BASELINE_ENTRIES_PER_S = 6_978_358.0  # reference best published entries/s
 
+# Measured single-chip ALU ceiling for the identical DP loop with constant
+# substitution scores (docs/DESIGN.md "The S-path wall" isolation study,
+# v5e, lq=144): the roofline the full kernel is judged against.
+ROOFLINE_GCUPS = 469.0
+
+DB_CAVEAT = (
+    "synthetic database (gamma lengths, uniform 20-AA residues) at "
+    "Swiss-Prot scale; real Swiss-Prot length/composition bias unmeasured "
+    "(reference snapshot ships no fixtures)"
+)
+
 
 def main() -> None:
     import jax
@@ -151,7 +162,14 @@ def main() -> None:
         short = _short_query_point(jax, jnp, db, sc, aa20, rng)
     except Exception:
         pass
-    _emit(gcups, dt, n, real_cells, backend, padded_cells, short)
+    # Multi-query point: 8 batched short queries (the CLI default for
+    # multi-record query files) sharing every per-position cost.
+    mq = None
+    try:
+        mq = _multi_query_point(jax, jnp, db, sc, aa20, rng)
+    except Exception:
+        pass
+    _emit(gcups, dt, n, real_cells, backend, padded_cells, short, mq)
 
 
 def _short_query_point(jax, jnp, db, sc, aa20, rng):
@@ -205,7 +223,63 @@ def _short_query_point(jax, jnp, db, sc, aa20, rng):
     }
 
 
-def _emit(gcups, dt, n, real_cells, backend, padded_cells, short=None) -> None:
+def _multi_query_point(jax, jnp, db, sc, aa20, rng):
+    """8 batched 17-residue queries in shared dispatches (kernel-level)."""
+    from seqalign_tpu.ops.swa_pallas import choose_config, sw_pallas_stream
+    from seqalign_tpu.ops.swa_xla import make_profile
+    from seqalign_tpu.utils.packing import pack_streams
+
+    nq, lq = 8, 17
+    profs = np.zeros((nq, lq, 32), dtype=np.int32)
+    for k in range(nq):
+        q = aa20[rng.integers(0, 20, lq)].astype(np.int32)
+        profs[k] = make_profile(sc.table, q)
+    go, ge = sc.gap_open_total, sc.gap_extend
+    order = np.arange(db.n)
+    cfg = choose_config(lq, reserve=(1 << 20), nq=nq)
+    pack = pack_streams(db, order, cfg.nw, win=1024, jb=cfg.jb, grain=16)
+    sd = jax.device_put(pack.streams)
+    fd = jax.device_put(pack.fs)
+    pd = jax.device_put(profs)
+    jax.block_until_ready([sd, fd, pd])
+    kw = dict(
+        nslots=len(pack.slot_ids), nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic
+    )
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chain(reps):
+        def body(i, acc):
+            pp = pd.at[0, 0, 0].add((i % 4).astype(jnp.int32))
+            return acc + sw_pallas_stream(pp, sd, fd, go, ge, **kw)[0, 0, 0]
+
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int32))
+
+    np.asarray(chain(1))
+    np.asarray(chain(3))
+
+    def run(reps):
+        t0 = time.perf_counter()
+        np.asarray(chain(reps))
+        return time.perf_counter() - t0
+
+    t1 = min(run(1) for _ in range(2))
+    t3 = min(run(3) for _ in range(2))
+    dt = max((t3 - t1) / 2, 1e-9)
+    cells = nq * lq * int(db.offsets[-1])
+    return {
+        "n_queries": nq,
+        "query_len": lq,
+        "aggregate_gcups": round(cells / dt / 1e9, 1),
+        "query_entries_per_s": round(nq * db.n / dt),
+        "vs_published_entries_per_s": round(
+            nq * db.n / dt / BASELINE_ENTRIES_PER_S, 2
+        ),
+    }
+
+
+def _emit(
+    gcups, dt, n, real_cells, backend, padded_cells, short=None, mq=None
+) -> None:
     entries_per_s = n / dt
     print(
         json.dumps(
@@ -222,10 +296,19 @@ def _emit(gcups, dt, n, real_cells, backend, padded_cells, short=None) -> None:
                     "query_len": QUERY_LEN,
                     "real_cells": real_cells,
                     "padding_overhead": round(padded_cells / real_cells, 3),
+                    "pct_of_roofline": round(100 * gcups / ROOFLINE_GCUPS, 1),
+                    "roofline_gcups": ROOFLINE_GCUPS,
+                    "roofline_derivation": (
+                        "docs/DESIGN.md 'The S-path wall' constant-S "
+                        "isolation study (same DP loop, v5e)"
+                    ),
+                    "db_caveat": DB_CAVEAT,
                     "baseline_gcups": BASELINE_GCUPS,
                     "baseline_derivation": "BASELINE.md 'Derived baseline GCUPS'",
                     "published_best_entries_per_s_at_inferred_L17": BASELINE_ENTRIES_PER_S,
                     "short_query_point": short,
+                    "multi_query_point": mq,
+                    "multi_chip_scaling_tool": "tools/scaling_check.py",
                 },
             }
         )
