@@ -44,18 +44,35 @@ def ref_binary(tmp_path_factory):
     return exe
 
 
-def test_scores_match_reference_binary(ref_binary, tmp_path):
+# (matrix, gap_open, gap_extend, query_len, seed): the sweep covers every
+# builtin matrix, several gap regimes (incl. gap_open == gap_extend and a
+# deep-open config), and short/medium/long queries; every run compares ALL
+# 64 records bit-for-bit (VERDICT round-1 item #8).
+CONFIGS = [
+    ("PAM250", -2, -1, 37, 7),
+    ("BLOSUM62", -2, -1, 144, 11),
+    ("BLOSUM45", -5, -2, 17, 13),
+    ("BLOSUM62", -10, -1, 64, 17),
+    ("PAM250", -1, -1, 7, 19),
+    ("BLOSUM45", -3, -3, 96, 23),
+]
+
+
+@pytest.mark.parametrize("matrix,go,ge,qlen,seed", CONFIGS)
+def test_scores_match_reference_binary(
+    ref_binary, tmp_path, matrix, go, ge, qlen, seed
+):
     sys.path.insert(0, str(REPO / "tools/refbench"))
     import gen_workload
 
     db_bin = tmp_path / "db.bin"
-    mat = tmp_path / "pam250.txt"
-    n = 64  # 4 full 16-lane batches; driver prints the first batch's scores
-    gen_workload.write_workload(str(db_bin), n=n, query_len=37, seed=7)
-    gen_workload.write_matrix(str(mat))
+    mat = tmp_path / "matrix.txt"
+    n = 64  # 4 full 16-lane batches; the driver prints every record's score
+    gen_workload.write_workload(str(db_bin), n=n, query_len=qlen, seed=seed)
+    gen_workload.write_matrix(str(mat), name=matrix)
 
     out = subprocess.run(
-        [str(ref_binary), str(db_bin), str(mat), "1"],
+        [str(ref_binary), str(db_bin), str(mat), "1", str(go), str(ge)],
         check=True,
         capture_output=True,
         text=True,
@@ -66,20 +83,20 @@ def test_scores_match_reference_binary(ref_binary, tmp_path):
         for line in out.splitlines()
         if line.startswith("score[")
     ]
-    assert len(ref_scores) == 16
+    assert len(ref_scores) == n
 
     # Recompute with our oracle on the identical binary workload.
     from seqalign_tpu.models import ScoringModel, load_builtin
     from seqalign_tpu.ops.oracle import sw_score_single
 
     sc = load_builtin(
-        "PAM250",
-        ScoringModel(gap_open=-2, gap_extend=-1, use_match_mismatch=False),
+        matrix,
+        ScoringModel(gap_open=go, gap_extend=ge, use_match_mismatch=False),
     )
     with open(db_bin, "rb") as f:
         nn = int(np.frombuffer(f.read(8), np.int64)[0])
-        qlen = int(np.frombuffer(f.read(8), np.int64)[0])
-        q = np.frombuffer(f.read(qlen), np.int8).astype(np.int32)
+        qlen_r = int(np.frombuffer(f.read(8), np.int64)[0])
+        q = np.frombuffer(f.read(qlen_r), np.int8).astype(np.int32)
         lens = np.frombuffer(f.read(8 * nn), np.int64)
         seqs = [
             np.frombuffer(f.read(int(L)), np.int8).astype(np.int32)
@@ -87,6 +104,6 @@ def test_scores_match_reference_binary(ref_binary, tmp_path):
         ]
     ours = [
         sw_score_single(q, seqs[k], sc.table, sc.gap_open, sc.gap_extend)
-        for k in range(16)
+        for k in range(n)
     ]
     assert ours == ref_scores

@@ -31,8 +31,10 @@ int main(int argc, char **argv) {
     fread(seqs, 1, total, f);
     fclose(f);
 
+    int gap_open = argc > 4 ? atoi(argv[4]) : -2;
+    int gap_extend = argc > 5 ? atoi(argv[5]) : -1;
     scoring_t scoring;
-    scoring_init(&scoring, 1, -2, -2, -1, 0);
+    scoring_init(&scoring, 1, -2, gap_open, gap_extend, 0);
     memset(scoring.swap_scores, 0, sizeof(scoring.swap_scores));
     scoring.use_match_mismatch = 0;
     FILE *m = fopen(argv[2], "r");
@@ -84,8 +86,10 @@ int main(int argc, char **argv) {
         for (int lane = 0; lane < 16; lane++) sum += al[g]->max_scores[lane];
     printf("entries=%lld time=%.6f entries_per_s=%.0f gcups=%.3f checksum=%lld\n",
            nb * 16, bestdt, nb * 16 / bestdt, cells / bestdt / 1e9, sum);
-    /* first batch scores for exactness cross-check */
-    for (int lane = 0; lane < 16; lane++)
-        printf("score[%d]=%d\n", lane, (int)al[0]->max_scores[lane]);
+    /* every record's score for exactness cross-checks */
+    for (long long g = 0; g < nb; g++)
+        for (int lane = 0; lane < 16; lane++)
+            printf("score[%lld]=%d\n", g * 16 + lane,
+                   (int)al[g]->max_scores[lane]);
     return 0;
 }

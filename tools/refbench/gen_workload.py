@@ -22,9 +22,9 @@ AA20 = np.array(encode("ACDEFGHIKLMNPQRSTVWY"), dtype=np.int8)
 PAM_ALPHA = "ARNDCQEGHILKMFPSTWYVBZX*"
 
 
-def write_matrix(path: str) -> None:
+def write_matrix(path: str, name: str = "PAM250") -> None:
     sc = load_builtin(
-        "PAM250", ScoringModel(gap_open=-2, gap_extend=-1, use_match_mismatch=False)
+        name, ScoringModel(gap_open=-2, gap_extend=-1, use_match_mismatch=False)
     )
     with open(path, "w") as f:
         for a in PAM_ALPHA:
