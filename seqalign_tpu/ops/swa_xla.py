@@ -139,3 +139,67 @@ def sw_wavefront(
         jnp.arange(lq + lb - 1, dtype=jnp.int32),
     )
     return best
+
+
+@partial(jax.jit, static_argnames=("go", "ge"))
+def sw_wavefront_ends(
+    profile: jax.Array, db: jax.Array, go: int, ge: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Wavefront engine variant that also reports a best cell per lane.
+
+    Returns ``(best, end_j, end_i)`` — 1-based coordinates (db position,
+    query position) of a maximal H cell, 0 where ``best == 0``. Tie-breaks
+    follow diagonal order (first diagonal, then smallest query index), which
+    may differ from the row-major fill's rule; any maximal cell localizes an
+    optimal alignment, so downstream traceback is unaffected.
+
+    Serves the top-k re-alignment phase: one batched dispatch localizes the
+    alignment END for every hit, after which the host-side traceback only
+    runs its reverse window + rectangle (ops/traceback.py) instead of a
+    full forward pass over each pair.
+    """
+    profile = profile.astype(jnp.int32)
+    db = db.astype(jnp.int32)
+    lq = profile.shape[0]
+    lb, b = db.shape
+    iota_i = jnp.arange(lq, dtype=jnp.int32)
+
+    def shift(x):
+        return jnp.concatenate([jnp.zeros((1, b), jnp.int32), x[:-1]], axis=0)
+
+    def step(carry, d):
+        h1, e1, f1, t2, best, bj, bi = carry
+        j = d - iota_i
+        valid = (j >= 0) & (j < lb)
+        db_diag = jnp.take(db, jnp.clip(j, 0, lb - 1), axis=0)
+        s = jnp.take_along_axis(profile, db_diag, axis=1)
+
+        h_new = jnp.maximum(shift(t2) + s, 0)
+        e_new = jnp.maximum(
+            jnp.maximum(jnp.maximum(h1, f1) + go, e1 + ge), 0
+        )
+        sh_h, sh_e, sh_f = shift(h1), shift(e1), shift(f1)
+        f_new = jnp.maximum(
+            jnp.maximum(jnp.maximum(sh_h, sh_e) + go, sh_f + ge), 0
+        )
+        mask = valid[:, None]
+        h_new = jnp.where(mask, h_new, 0)
+        e_new = jnp.where(mask, e_new, 0)
+        f_new = jnp.where(mask, f_new, 0)
+        colbest = h_new.max(axis=0)
+        coli = jnp.argmax(h_new, axis=0).astype(jnp.int32)  # first max
+        upd = colbest > best
+        best = jnp.where(upd, colbest, best)
+        bi = jnp.where(upd, coli + 1, bi)
+        bj = jnp.where(upd, d - coli + 1, bj)
+        t1 = jnp.maximum(jnp.maximum(h1, e1), f1)
+        return (h_new, e_new, f_new, t1, best, bj, bi), None
+
+    z = jnp.zeros((lq, b), jnp.int32)
+    z1 = jnp.zeros((b,), jnp.int32)
+    (_, _, _, _, best, bj, bi), _ = jax.lax.scan(
+        step,
+        (z, z, z, z, z1, z1, z1),
+        jnp.arange(lq + lb - 1, dtype=jnp.int32),
+    )
+    return best, bj, bi

@@ -232,6 +232,7 @@ def sw_traceback(
     gap_extend: int,
     query_str: str | None = None,
     db_str: str | None = None,
+    end: tuple[int, int] | None = None,
 ) -> Alignment:
     """Smith-Waterman with affine gaps and traceback.
 
@@ -257,7 +258,7 @@ def sw_traceback(
     if (lq + 1) * (lb + 1) > _DIRECT_CELLS and min(lq, lb) > 0:
         return _localized_traceback(
             query_idx, db_idx, table, gap_open, gap_extend,
-            query_str=query_str, db_str=db_str,
+            query_str=query_str, db_str=db_str, end=end,
         )
     return _direct_traceback(
         query_idx, db_idx, table, gap_open, gap_extend,
@@ -401,10 +402,13 @@ def _localized_traceback(
     gap_extend: int,
     query_str: str | None = None,
     db_str: str | None = None,
+    end: tuple[int, int] | None = None,
 ) -> Alignment:
     """Linear-space recompute for huge pairs (see sw_traceback docstring).
 
-    1. Forward score-only pass -> best score + END cell (rolling rows).
+    1. Forward score-only pass -> best score + END cell (rolling rows) —
+       skipped when the caller supplies ``end`` (e.g. from the TPU scan's
+       ``sw_wavefront_ends``, one batched dispatch for all top-k hits).
     2. Reverse score-only pass on the reversed prefixes, windowed by the
        provable extent bound (every aligned db char is either matched —
        bounded by the query extent — or a gap char costing >= |ge|, bounded
@@ -418,13 +422,16 @@ def _localized_traceback(
     d = np.asarray(db_idx)
     lq, lb = len(q), len(d)
 
-    # Forward pass, vector width on the longer dimension.
-    if lq >= lb:
+    if end is not None:
+        ej, ei = int(end[0]), int(end[1])
+        best = None  # established by the reverse pass below
+    elif lq >= lb:
+        # Forward pass, vector width on the longer dimension.
         best, (ej, ei) = _score_ends(q, d, table, go, ge)
     else:
         tt = np.ascontiguousarray(table.T)
         best, (ei, ej) = _score_ends(d, q, tt, go, ge)
-    if best == 0:
+    if best == 0 or ej == 0 or ei == 0:
         return Alignment(
             score=0, query_start=0, query_end=0, db_start=0, db_end=0,
             query_aligned="", db_aligned="", cigar="",
@@ -442,6 +449,8 @@ def _localized_traceback(
     else:
         tt = np.ascontiguousarray(table.T)
         r_best, (ri, rj) = _score_ends(dr, qr, tt, go, ge)
+    if best is None:  # caller-supplied end: the reverse pass sets the score
+        best = r_best
     assert r_best == best, (r_best, best)
     i0, j0 = ei - ri, ej - rj
 
@@ -739,6 +748,39 @@ def align_pair(
     )
 
 
+def _batched_engine_ends(query_idx, db, recs, table, gap_open, gap_extend):
+    """Localize alignment ENDS for several records in ONE device dispatch.
+
+    Uses the wavefront engine's ends variant (ops/swa_xla.py) — on TPU this
+    replaces a per-pair host forward pass (the dominant cost of re-aligning
+    top-k hits against long records). Returns {record: (end_j, end_i)} or
+    None when unavailable (no jax, or a scoring table whose '*' pad column
+    could outscore real residues).
+    """
+    try:
+        from .swa_xla import make_profile, sw_wavefront_ends
+    except Exception:
+        return None
+    from ..models.alphabet import PAD_INDEX
+
+    t = np.asarray(table)
+    if t[PAD_INDEX, :].max() > 0 or t[:, PAD_INDEX].max() > 0:
+        return None
+    seqs = [db.record(int(r)) for r in recs]
+    lb = -(-max(len(s) for s in seqs) // 256) * 256
+    dbm = np.full((lb, len(recs)), PAD_INDEX, dtype=np.int32)
+    for kth, s in enumerate(seqs):
+        dbm[: len(s), kth] = s
+    prof = make_profile(t, query_idx)
+    go = int(gap_open) + int(gap_extend)
+    try:
+        best, bj, bi = sw_wavefront_ends(prof, dbm, go, int(gap_extend))
+        bj, bi = np.asarray(bj), np.asarray(bi)
+    except Exception:
+        return None
+    return {int(r): (int(bj[kth]), int(bi[kth])) for kth, r in enumerate(recs)}
+
+
 def topk_alignments(
     query_idx: np.ndarray,
     db,
@@ -748,22 +790,40 @@ def topk_alignments(
     gap_open: int,
     gap_extend: int,
     query_str: str | None = None,
+    engine_ends: bool | None = None,
 ) -> list[tuple[int, Alignment]]:
     """Re-align the k best-scoring database records with traceback.
 
     ``db`` is an EncodedDatabase (or anything with ``record(i)``); returns
     [(record_id, Alignment)] sorted by descending score (stable).
+
+    ``engine_ends``: None (auto) batches end-localization for pairs beyond
+    the direct-fill threshold through the device engine (one dispatch for
+    all such hits); False forces host-only localization.
     """
     order = np.argsort(-np.asarray(scores), kind="stable")[:k]
+    recs = [int(r) for r in order]
+    ends: dict[int, tuple[int, int]] = {}
+    if engine_ends is not False:
+        lq = len(query_idx)
+        big = [
+            r for r in recs
+            if (len(db.record(r)) + 1) * (lq + 1) > _DIRECT_CELLS
+        ]
+        if big:
+            ends = _batched_engine_ends(
+                query_idx, db, big, table, gap_open, gap_extend
+            ) or {}
     out = []
-    for rec in order:
+    for rec in recs:
         aln = sw_traceback(
             query_idx,
-            db.record(int(rec)),
+            db.record(rec),
             table,
             gap_open,
             gap_extend,
             query_str=query_str,
+            end=ends.get(rec),
         )
-        out.append((int(rec), aln))
+        out.append((rec, aln))
     return out
