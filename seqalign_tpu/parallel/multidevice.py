@@ -90,17 +90,38 @@ def multi_device_search(
     lengths = db.lengths
     order = np.argsort(-lengths, kind="stable")
     chunks = deal_chunks(order, lengths, len(devices), win=win)
+    chunks = [c for c in chunks if len(c)]
+
+    # One compiled kernel serves every device: all shards share one config
+    # (worst-case slot count) and pack to one common stream length
+    # (pack_streams target_len; '*' tail padding is score-invariant), so
+    # the AOT compile below happens once, not once per device.
+    nslots = max(-(-len(c) // win) for c in chunks)
+    reserve = nslots * nq * 4096 + (1 << 20)
+    cfg = choose_config(lq, reserve=reserve, nq=nq, nw_max=max(1, nslots))
+    if cfg is None:
+        raise ValueError("query too long for the stream kernel's VMEM")
+    packs = [
+        pack_streams(db, chunk, cfg.nw, win=win, jb=cfg.jb, grain=16)
+        for chunk in chunks
+    ]
+    target = max(p.streams.shape[1] for p in packs)
+    packs = [
+        p
+        if p.streams.shape[1] == target
+        else pack_streams(
+            db, chunk, cfg.nw, win=win, jb=cfg.jb, grain=16,
+            target_len=target,
+        )
+        for p, chunk in zip(packs, chunks)
+    ]
 
     work = []
-    for dev, chunk in zip(devices, chunks):
-        if len(chunk) == 0:
-            continue
-        nslots = -(-len(chunk) // win)
-        reserve = nslots * nq * 4096 + (1 << 20)
-        cfg = choose_config(lq, reserve=reserve, nq=nq, nw_max=max(1, nslots))
-        if cfg is None:
-            raise ValueError("query too long for the stream kernel's VMEM")
-        pack = pack_streams(db, chunk, cfg.nw, win=win, jb=cfg.jb, grain=16)
+    for dev, pack in zip(devices, packs):
+        # fs slot tables are per-shard but shapes agree; pad every shard's
+        # output to the common nslots (extra slots never flush). Identical
+        # shapes mean each device's AOT compile is a compilation-cache hit
+        # (executables themselves are device-bound).
         s_dev = jax.device_put(pack.streams, dev)
         f_dev = jax.device_put(pack.fs, dev)
         p_dev = jax.device_put(np.asarray(profile), dev)
