@@ -197,6 +197,16 @@ def _run_block(
             ).astype(jnp.bfloat16)
             for w in range(nw)
         ]
+    elif pipe == 6:
+        # Maximal fusion: ONE (IC,32)@(32, NW*JB*SL, LANES) dot per chunk
+        # covers every window and db position; the merged-sublane layout
+        # means the DP reads it back with static slices, no relayout.
+        c_iota6 = jax.lax.broadcasted_iota(
+            jnp.int32, (ALPHA, nw * jb * sl, LANES), 0
+        )
+        onehot_all = (
+            c_iota6 == d.reshape(nw * jb * sl, LANES)[None]
+        ).astype(jnp.bfloat16)
     else:
         c_iota = jax.lax.broadcasted_iota(jnp.int32, (ALPHA, sl, LANES), 0)
         # One-hot encodings are chunk-invariant: build once per grid step.
@@ -234,6 +244,15 @@ def _run_block(
         )
 
     def produce(c, sbase):
+        if pipe == 6:
+            p_chunk = prof_ref[pl.ds(c * ic, ic), :]
+            s_buf[sbase] = jax.lax.dot_general(
+                p_chunk,
+                onehot_all,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return
         for w in range(nw):
             if pipe == 5:
                 produce_w(c, w, sbase)
@@ -278,6 +297,15 @@ def _run_block(
             for t in range(jb):
                 if svals is not None:
                     s = [svals[w][t][i - c * ic] for w in range(nw)]
+                elif pipe == 6:
+                    s = [
+                        s_buf[
+                            sbase,
+                            i - c * ic,
+                            (w * jb + t) * sl : (w * jb + t + 1) * sl,
+                        ]
+                        for w in range(nw)
+                    ]
                 elif pipe == 5:
                     s = [
                         s_buf[sbase + w, i - c * ic, t * sl : (t + 1) * sl]
@@ -322,11 +350,18 @@ def _run_block(
             best_ref[w, qidx] = jnp.maximum(best_ref[w, qidx], gmax[w])
 
     if pipe:
-        # Static-parity software pipelining: ic == ui (one group per chunk),
-        # everything straight-line, chunk c's DP reads parity c%2 while
-        # chunk c+1's dots fill parity (c+1)%2.
-        if ic != ui:
-            raise ValueError(f"pipe mode requires ic == ui (got {ic=}, {ui=})")
+        # Static-parity software pipelining: ic a multiple of ui (groups
+        # emitted straight-line as static Python iterations), chunk c's DP
+        # reads parity c%2 while chunk c+1's dots fill parity (c+1)%2.
+        if ic % ui:
+            raise ValueError(
+                f"pipe mode requires ic % ui == 0 (got {ic=}, {ui=})"
+            )
+
+        def emit_chunk(c, sbase, hook=None, svals=None):
+            for g in range(min(ic, lqp - c * ic) // ui):
+                emit_group(c, g, sbase, hook if g == 0 else None, svals)
+
         wt_pairs = [(w, t) for w in range(nw) for t in range(jb)]
         per_row = -(-len(wt_pairs) // ui)
         if pipe == 3:
@@ -334,24 +369,25 @@ def _run_block(
             # the VMEM store+load round trip (register pressure permitting).
             for c in range(nc):
                 svals = [[dot_one(c, w, t) for t in range(jb)] for w in range(nw)]
-                emit_group(c, 0, 0, svals=svals)
+                emit_chunk(c, 0, svals=svals)
             return
         produce(0, 0)
+        par = 1 if pipe == 6 else nw  # parity stride in s_buf's leading dim
         for c in range(nc):
-            sb_cur = (c % 2) * nw
-            sb_nxt = ((c + 1) % 2) * nw
+            sb_cur = (c % 2) * par
+            sb_nxt = ((c + 1) % 2) * par
             if c + 1 >= nc:
-                emit_group(c, 0, sb_cur)
-            elif pipe in (1, 4, 5):  # 4: bf16 s_buf; 5: per-window fused dots
+                emit_chunk(c, sb_cur)
+            elif pipe in (1, 4, 5, 6):  # 4: bf16 buf; 5/6: fused dots
                 produce(c + 1, sb_nxt)
-                emit_group(c, 0, sb_cur)
+                emit_chunk(c, sb_cur)
             else:  # pipe == 2: spread next-chunk dots across this chunk's rows
 
                 def hook(u, c=c, sb=sb_nxt):
                     for w, t in wt_pairs[u * per_row : (u + 1) * per_row]:
                         produce_one(c + 1, w, t, sb)
 
-                emit_group(c, 0, sb_cur, hook)
+                emit_chunk(c, sb_cur, hook)
     else:
         for c in range(nc):
             produce(c, 0)
@@ -686,7 +722,9 @@ def sw_pallas_windows(
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM(
-                (2 * nw, ic, jb * sl, LANES)
+                (2, ic, nw * jb * sl, LANES)
+                if pipe == 6
+                else (2 * nw, ic, jb * sl, LANES)
                 if pipe == 5
                 else ((2 if pipe in (1, 2, 4) else 1) * nw, jb, ic, sl, LANES),
                 jnp.bfloat16 if pipe == 4 else jnp.float32,
@@ -806,7 +844,9 @@ def sw_pallas_stream(
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM(
-                (2 * nw, ic, jb * sl, LANES)
+                (2, ic, nw * jb * sl, LANES)
+                if pipe == 6
+                else (2 * nw, ic, jb * sl, LANES)
                 if pipe == 5
                 else ((2 if pipe in (1, 2, 4) else 1) * nw, jb, ic, sl, LANES),
                 jnp.bfloat16 if pipe == 4 else jnp.float32,

@@ -26,7 +26,7 @@ def main():
     p.add_argument("--lb", type=int, default=4096)
     p.add_argument("--pipe", type=int, nargs="*", default=[0, 1, 2])
     p.add_argument("--shapes", type=str, nargs="*", default=None,
-                   help="nw,jb,ui triples, e.g. 8,4,8")
+                   help="nw,jb,ui[,icmul] tuples, e.g. 8,4,8 or 2,4,16,3")
     args = p.parse_args()
 
     import jax
@@ -51,12 +51,16 @@ def main():
 
     for lq in args.lq:
         prof = rng.integers(-8, 12, (lq, 32)).astype(np.int32)
-        for nw, jb, ui in shapes_by_lq.get(lq, [(8, 4, 8)]):
-            # VMEM check: rows 2*lqp*nw*4KB + s 2*nw*jb*ui*4KB
+        for shape in shapes_by_lq.get(lq, [(8, 4, 8)]):
+            nw, jb, ui = shape[:3]
+            icm = shape[3] if len(shape) > 3 else 1
+            ic = ui * icm
+            # VMEM check: rows 2*lqp*nw*4KB + s 2*nw*jb*ic*4KB
             lqp = -(-lq // ui) * ui
-            vm = (2 * lqp * nw + 2 * nw * jb * ui + (2 * jb + 1) * nw) * 4096
+            vm = (2 * lqp * nw + 2 * nw * jb * ic + (2 * jb + 1) * nw) * 4096
             if vm > 14.5 * 2**20:
-                print(f"lq={lq} ({nw},{jb},{ui}): skip, VMEM {vm/2**20:.1f}M")
+                print(f"lq={lq} ({nw},{jb},{ui},ic={ic}): skip, "
+                      f"VMEM {vm/2**20:.1f}M")
                 continue
             db_small = rng.integers(1, 27, (nw, 64, 1024)).astype(np.int32)
             want = np.concatenate(
@@ -69,7 +73,7 @@ def main():
             pj = jax.device_put(prof)
             jax.block_until_ready([dj, pj])
             for pipe in args.pipe:
-                kw = dict(nw=nw, jb=jb, ui=ui, ic=ui, pipe=pipe)
+                kw = dict(nw=nw, jb=jb, ui=ui, ic=ic, pipe=pipe)
                 try:
                     got = np.asarray(
                         sw_pallas_windows(prof, db_small, -3, -1, **kw)

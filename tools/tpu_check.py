@@ -71,6 +71,11 @@ def main() -> int:
         action="store_true",
         help="regression-check every production kernel path (stream, striped, multi-query)",
     )
+    parser.add_argument(
+        "--mq64",
+        action="store_true",
+        help="measure the 64-query blocked batch vs 64 sequential searches",
+    )
     args = parser.parse_args()
 
     import jax
@@ -136,7 +141,9 @@ def main() -> int:
         print(f"lq={lq:4d} {cfg}: exact={ok}  {gcups:6.1f} GCUPS")
         return gcups
 
-    if args.sweep:
+    if args.mq64:
+        failures += check_mq64(rng)
+    elif args.sweep:
         for lq in args.lq or (17, 144, 512):
             for nw in args.nw or (4, 6, 8, 10, 12):
                 for jb, ui in ((4, 4), (8, 2), (2, 8), (8, 4), (4, 8)):
@@ -159,6 +166,58 @@ def main() -> int:
 
     print("FAILURES:", failures)
     return 1 if failures else 0
+
+
+def check_mq64(rng) -> int:
+    """The 64-query north-star config (BASELINE #4): one query-blocked
+    search_database_multi call vs 64 sequential searches, scores equal,
+    aggregate speedup reported."""
+    import time
+
+    import numpy as np
+
+    from seqalign_tpu.models import ScoringModel, load_builtin
+    from seqalign_tpu.models.alphabet import encode
+    from seqalign_tpu.pipeline import (
+        _db_from_encoded,
+        search_database,
+        search_database_multi,
+    )
+
+    aa20 = np.array(encode("ACDEFGHIKLMNPQRSTVWY"), dtype=np.int8)
+    sc = load_builtin(
+        "PAM250",
+        ScoringModel(gap_open=-2, gap_extend=-1, use_match_mismatch=False),
+    )
+    nq, lq, n = 64, 144, 65536
+    queries = [aa20[rng.integers(0, 20, lq)].astype(np.int32) for _ in range(nq)]
+    lengths = np.clip(rng.gamma(1.8, 202.0, n).astype(np.int64), 2, 4000)
+    encoded = [aa20[rng.integers(0, 20, int(L))] for L in lengths]
+    db = _db_from_encoded(encoded)
+    residues = int(db.lengths.sum())
+
+    t0 = time.perf_counter()
+    multi, kt_multi = search_database_multi(queries, db, sc)
+    wall_multi = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    kt_seq = 0.0
+    seq_scores = np.zeros((nq, n), dtype=np.int32)
+    for k, q in enumerate(queries):
+        seq_scores[k], dt = search_database(q, db, sc)
+        kt_seq += dt
+    wall_seq = time.perf_counter() - t0
+
+    ok = bool((multi == seq_scores).all())
+    agg_gcups = nq * lq * residues / kt_multi / 1e9
+    print(
+        f"mq64: exact={ok}  blocked kernel={kt_multi:.3f}s wall={wall_multi:.1f}s"
+        f"  sequential kernel={kt_seq:.3f}s wall={wall_seq:.1f}s"
+        f"  kernel speedup={kt_seq / kt_multi:.2f}x"
+        f"  wall speedup={wall_seq / wall_multi:.2f}x"
+        f"  aggregate={agg_gcups:.1f} GCUPS"
+    )
+    return 0 if ok else 1
 
 
 def check_paths(rng) -> int:
