@@ -120,7 +120,8 @@ def main() -> None:
                 jax.device_put(pack.streams),  # int8; converts on device
                 jax.device_put(pack.fs),
                 dict(
-                    nslots=nslots, nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic
+                    nslots=nslots, nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic,
+                    pipe=cfg.pipe,
                 ),
             )
         )
@@ -189,7 +190,8 @@ def _short_query_point(jax, jnp, db, sc, aa20, rng):
     pd = jax.device_put(prof)
     jax.block_until_ready([sd, fd, pd])
     kw = dict(
-        nslots=len(pack.slot_ids), nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic
+        nslots=len(pack.slot_ids), nw=cfg.nw, jb=cfg.jb, ui=cfg.ui,
+        ic=cfg.ic, pipe=cfg.pipe,
     )
 
     @functools.partial(jax.jit, static_argnames=("reps",))
@@ -243,7 +245,8 @@ def _multi_query_point(jax, jnp, db, sc, aa20, rng):
     pd = jax.device_put(profs)
     jax.block_until_ready([sd, fd, pd])
     kw = dict(
-        nslots=len(pack.slot_ids), nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic
+        nslots=len(pack.slot_ids), nw=cfg.nw, jb=cfg.jb, ui=cfg.ui,
+        ic=cfg.ic, pipe=cfg.pipe,
     )
 
     @functools.partial(jax.jit, static_argnames=("reps",))

@@ -197,10 +197,13 @@ def _run_block(
             ).astype(jnp.bfloat16)
             for w in range(nw)
         ]
-    elif pipe == 6:
+    elif pipe in (6, 7):
         # Maximal fusion: ONE (IC,32)@(32, NW*JB*SL, LANES) dot per chunk
         # covers every window and db position; the merged-sublane layout
         # means the DP reads it back with static slices, no relayout.
+        # pipe=7 additionally keeps the dot OUTPUT in bf16 (exact: every
+        # product is a 0/1 weight times a small integer), halving the MXU
+        # result-vreg stream and the S stores/loads.
         c_iota6 = jax.lax.broadcasted_iota(
             jnp.int32, (ALPHA, nw * jb * sl, LANES), 0
         )
@@ -244,13 +247,13 @@ def _run_block(
         )
 
     def produce(c, sbase):
-        if pipe == 6:
+        if pipe in (6, 7):
             p_chunk = prof_ref[pl.ds(c * ic, ic), :]
             s_buf[sbase] = jax.lax.dot_general(
                 p_chunk,
                 onehot_all,
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=s_buf.dtype,
             )
             return
         for w in range(nw):
@@ -297,13 +300,13 @@ def _run_block(
             for t in range(jb):
                 if svals is not None:
                     s = [svals[w][t][i - c * ic] for w in range(nw)]
-                elif pipe == 6:
+                elif pipe in (6, 7):
                     s = [
                         s_buf[
                             sbase,
                             i - c * ic,
                             (w * jb + t) * sl : (w * jb + t + 1) * sl,
-                        ]
+                        ].astype(jnp.float32)
                         for w in range(nw)
                     ]
                 elif pipe == 5:
@@ -372,13 +375,13 @@ def _run_block(
                 emit_chunk(c, 0, svals=svals)
             return
         produce(0, 0)
-        par = 1 if pipe == 6 else nw  # parity stride in s_buf's leading dim
+        par = 1 if pipe in (6, 7) else nw  # parity stride in s_buf leading dim
         for c in range(nc):
             sb_cur = (c % 2) * par
             sb_nxt = ((c + 1) % 2) * par
             if c + 1 >= nc:
                 emit_chunk(c, sb_cur)
-            elif pipe in (1, 4, 5, 6):  # 4: bf16 buf; 5/6: fused dots
+            elif pipe in (1, 4, 5, 6, 7):  # 4: bf16 buf; 5-7: fused dots
                 produce(c + 1, sb_nxt)
                 emit_chunk(c, sb_cur)
             else:  # pipe == 2: spread next-chunk dots across this chunk's rows
@@ -723,11 +726,11 @@ def sw_pallas_windows(
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM(
                 (2, ic, nw * jb * sl, LANES)
-                if pipe == 6
+                if pipe in (6, 7)
                 else (2 * nw, ic, jb * sl, LANES)
                 if pipe == 5
                 else ((2 if pipe in (1, 2, 4) else 1) * nw, jb, ic, sl, LANES),
-                jnp.bfloat16 if pipe == 4 else jnp.float32,
+                jnp.bfloat16 if pipe in (4, 7) else jnp.float32,
             ),
             pltpu.VMEM((nw, nq, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, 2 * jb + 1, sl, LANES), jnp.float32),
@@ -845,11 +848,11 @@ def sw_pallas_stream(
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM(
                 (2, ic, nw * jb * sl, LANES)
-                if pipe == 6
+                if pipe in (6, 7)
                 else (2 * nw, ic, jb * sl, LANES)
                 if pipe == 5
                 else ((2 if pipe in (1, 2, 4) else 1) * nw, jb, ic, sl, LANES),
-                jnp.bfloat16 if pipe == 4 else jnp.float32,
+                jnp.bfloat16 if pipe in (4, 7) else jnp.float32,
             ),
             pltpu.VMEM((nw, nq, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, 2 * jb + 1, sl, LANES), jnp.float32),
@@ -1089,6 +1092,7 @@ def sw_pallas_multi(
         jb=cfg.jb,
         ui=cfg.ui,
         ic=cfg.ic,
+        pipe=cfg.pipe,
         interpret=interpret,
     )
 
@@ -1098,33 +1102,54 @@ def sw_pallas_multi(
 _VMEM_BUDGET = 15.2 * 2**20
 MAX_QUERY_ROWS = 1536  # beyond this, row-striped passes
 
-# (nw, jb, ui) shapes validated + ranked on v5e hardware (tools/tpu_check
-# --sweep; docs/DESIGN.md measurement log). Short queries amortize row
-# padding and per-group state stores better with (jb=8, ui=2); longer
-# queries peak at (jb=4, ui=8) with as many windows as VMEM allows.
-# Combos outside these lists have hit Mosaic compiler crashes on this
-# jax/libtpu version -- stick to validated shapes.
+# (nw, jb, ui, pipe, full_ic) shapes validated + ranked on v5e hardware
+# (tools/exp_spipe.py, tools/tpu_check --sweep; docs/DESIGN.md round-2
+# measurement log). pipe=6 = fused single-dot S production (the round-2
+# discovery: dot COUNT, not volume, sets the S cost); full_ic entries
+# produce the whole padded query's S in one dot per grid step (short
+# queries only - the buffer is 2*lqp*nw*jb*4KB). pipe entries double the
+# S buffer (static-parity double buffering). Combos outside these lists
+# have hit Mosaic compiler crashes on this jax/libtpu version -- stick to
+# validated shapes; pipe=0 fallbacks remain for every band.
 _SHAPES_SHORT = [
-    (8, 8, 2), (8, 4, 4), (4, 8, 2), (2, 8, 2), (2, 4, 4), (1, 8, 2),
-    (1, 4, 2), (1, 2, 1),
+    (5, 8, 2, 6, True), (6, 8, 2, 6, True), (4, 8, 2, 6, True),
+    (8, 8, 2, 6, True),
+    (8, 8, 2, 0, False), (8, 4, 4, 0, False), (4, 8, 2, 0, False),
+    (2, 8, 2, 0, False), (2, 4, 4, 0, False), (1, 8, 2, 0, False),
+    (1, 4, 2, 0, False), (1, 2, 1, 0, False),
 ]
 _SHAPES_LONG = [
-    (10, 4, 8), (8, 4, 8), (6, 4, 8), (4, 8, 2), (4, 4, 8), (2, 4, 8),
-    (2, 8, 2), (1, 4, 8), (1, 4, 4), (1, 2, 1),
+    (2, 4, 16, 6, False), (4, 4, 16, 6, False),
+    (10, 4, 8, 0, False), (8, 4, 8, 0, False), (6, 4, 8, 0, False),
+    (4, 8, 2, 0, False), (4, 4, 8, 0, False), (2, 4, 8, 0, False),
+    (2, 8, 2, 0, False), (1, 4, 8, 0, False), (1, 4, 4, 0, False),
+    (1, 2, 1, 0, False),
 ]
-# Beyond ~192 rows, deep row unrolls win: the unrolled body contains an
-# anti-diagonal wavefront of ~min(jb, ui) independent cells per window, so
-# ILP ~ nw * min(jb, ui) and fewer windows (more VMEM for rows) with ui=16+
-# measured 224-266 GCUPS (vs 192-213 for the ui=8 shapes).
+# 96 <= lq < 192: fused production wins ((2,4,16) pipe=6: 216-239 GCUPS at
+# lq=144 vs 204 for every pipe=0 shape).
 _SHAPES_XLONG = [
-    (4, 4, 16), (2, 4, 16), (2, 8, 16), (1, 4, 32), (1, 4, 16), (1, 4, 8),
-    (1, 2, 1),
+    (2, 4, 16, 6, False), (4, 4, 16, 6, False),
+    (4, 4, 16, 0, False), (2, 4, 16, 0, False), (2, 8, 16, 0, False),
+    (1, 4, 32, 0, False), (1, 4, 16, 0, False), (1, 4, 8, 0, False),
+    (1, 2, 1, 0, False),
+]
+# Beyond ~192 rows, deep row unrolls win on their own (in-body wavefront
+# ILP) and fused production stops helping (224 vs 220 at lq=256, 243 vs
+# 227 at lq=512 - docs/DESIGN.md round-2 table).
+_SHAPES_XXLONG = [
+    (4, 4, 16, 0, False), (2, 4, 16, 0, False), (2, 8, 16, 0, False),
+    (1, 4, 32, 0, False), (1, 4, 16, 0, False), (1, 4, 8, 0, False),
+    (1, 2, 1, 0, False),
 ]
 # Multi-query batching adds a predicated chain reset + dynamic best
 # indexing to the loop body; jb=8 variants of that body crash Mosaic.
+# Fused production first (interpret-verified; HW-verified via
+# tpu_check --paths), pipe=0 fallbacks after.
 _SHAPES_MQ = [
-    (8, 4, 8), (8, 4, 4), (6, 4, 4), (4, 4, 4), (2, 4, 4), (1, 4, 4),
-    (1, 2, 2), (1, 2, 1),
+    (8, 4, 8, 6, False), (6, 4, 4, 6, False),
+    (8, 4, 8, 0, False), (8, 4, 4, 0, False), (6, 4, 4, 0, False),
+    (4, 4, 4, 0, False), (2, 4, 4, 0, False), (1, 4, 4, 0, False),
+    (1, 2, 2, 0, False), (1, 2, 1, 0, False),
 ]
 
 
@@ -1150,11 +1175,12 @@ def choose_config(
         shapes = _SHAPES_SHORT
     elif lq < 96:
         shapes = _SHAPES_LONG
-    else:
-        # measured: deep-unroll shapes match at 144 and win from ~96 up
+    elif lq < 192:
         shapes = _SHAPES_XLONG
+    else:
+        shapes = _SHAPES_XXLONG
     budget = _VMEM_BUDGET - reserve
-    for nw_c, jb, ui in shapes:
+    for nw_c, jb, ui, pipe, full_ic in shapes:
         if nw is not None and nw_c != nw:
             continue
         if nw_max is not None and nw_c > nw_max:
@@ -1167,19 +1193,24 @@ def choose_config(
         # weighted at half size (measured: configs at the full-size model
         # limit compile fine -- Mosaic appears to stream them into the dots)
         onehot = nw_c * jb * ALPHA * WINDOW_LANES
+        parity = 2 if pipe else 1  # pipe modes double-buffer the S block
         ic_budget = (budget - rows - state - best - onehot) / (
-            nw_c * jb * WINDOW_LANES * 4
+            parity * nw_c * jb * WINDOW_LANES * 4
         )
-        if lq <= 48:
+        if full_ic:
+            # the whole padded query's S in one dot per grid step
+            ic = lqp if ic_budget >= lqp else 0
+        elif pipe:
+            ic = ui if ic_budget >= ui else 0
+        elif lq <= 48:
             # short queries: one chunk covering the whole (padded) query
             ic = min(lqp, int(ic_budget // ui) * ui)
         else:
             # long queries: the smallest legal S chunk measured fastest
-            # (ic=8: 206 GCUPS vs ic=16: 191 at lq=144 -- small production
-            # granules interleave better with the DP loop)
+            # (small production granules interleave better with the DP loop)
             ic = ui if ic_budget >= ui else 0
         if ic >= ui:
-            return KernelConfig(nw=nw_c, jb=jb, ui=ui, ic=ic)
+            return KernelConfig(nw=nw_c, jb=jb, ui=ui, ic=ic, pipe=pipe)
     return None  # no validated shape fits VMEM: route to the XLA engine
 
 
@@ -1203,5 +1234,6 @@ def sw_pallas(profile, db, go, ge, *, interpret: bool = False):
         jb=cfg.jb,
         ui=cfg.ui,
         ic=cfg.ic,
+        pipe=cfg.pipe,
         interpret=interpret,
     )

@@ -126,7 +126,10 @@ def multi_device_search(
         f_dev = jax.device_put(pack.fs, dev)
         p_dev = jax.device_put(np.asarray(profile), dev)
         jax.block_until_ready([s_dev, f_dev, p_dev])
-        kw = dict(nslots=nslots, nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic)
+        kw = dict(
+            nslots=nslots, nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic,
+            pipe=cfg.pipe,
+        )
         if engine_fn is None:
             run = sw_pallas_stream.lower(
                 p_dev, s_dev, f_dev, go, ge, **kw

@@ -20,10 +20,15 @@ from conftest import random_protein
 
 
 class TestChooseConfig:
-    def test_monotone_windows(self):
-        nws = [choose_config(lq).nw for lq in (64, 144, 256, 384, 512, 1024)]
-        assert all(a >= b for a, b in zip(nws, nws[1:]))
-        assert nws[0] >= 2  # short queries get at least 2 windows
+    def test_bands_give_validated_shapes(self):
+        # Every band yields a config; fused production (pipe=6) serves the
+        # short and mid bands, deep-unroll pipe=0 the long ones.
+        assert choose_config(17).pipe == 6  # full-ic fused dot
+        assert choose_config(17).ic == 18  # whole padded query
+        assert choose_config(144).pipe == 6
+        assert choose_config(512).pipe == 0
+        for lq in (8, 48, 64, 96, 191, 192, 256, 1024, 1536):
+            assert choose_config(lq) is not None
 
     def test_bounds(self):
         for lq in (8, 17, 144, 333, 1024):
@@ -39,10 +44,12 @@ class TestChooseConfig:
                     assert 1 <= cfg.nw
                     assert cfg.ui <= cfg.ic <= lqp and cfg.ic % cfg.ui == 0
                     # VMEM footprint (incl. half-weighted one-hot stack
-                    # temporaries and per-query bests) stays under budget
+                    # temporaries, per-query bests, and the pipe modes'
+                    # double-buffered S block) stays under budget
+                    parity = 2 if cfg.pipe else 1
                     vmem = (
                         2 * lqp * cfg.nw * 4096
-                        + cfg.nw * cfg.jb * cfg.ic * 4096
+                        + parity * cfg.nw * cfg.jb * cfg.ic * 4096
                         + (2 * cfg.jb + 1) * cfg.nw * 4096
                         + nq * cfg.nw * 4096
                         + cfg.nw * cfg.jb * 32 * 1024

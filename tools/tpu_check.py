@@ -98,7 +98,8 @@ def main() -> int:
     def check_and_time(lq, cfg, verify=True):
         nonlocal failures
         prof = rng.integers(-8, 12, (lq, 32)).astype(np.int32)
-        kw = dict(nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic)
+        kw = dict(nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic,
+                  pipe=getattr(cfg, 'pipe', 0))
         ok = True
         if verify:
             db = rng.integers(1, 27, (cfg.nw, 256, 1024)).astype(np.int32)
@@ -270,7 +271,7 @@ def check_paths(rng) -> int:
         sw_pallas_stream(
             prof, pack.streams, pack.fs, go, ge,
             nslots=len(pack.slot_ids), nw=cfg.nw, jb=cfg.jb, ui=cfg.ui,
-            ic=cfg.ic,
+            ic=cfg.ic, pipe=cfg.pipe,
         )
     )
     want = np.asarray(sw_wavefront(prof, flat, go, ge))
@@ -305,7 +306,7 @@ def check_paths(rng) -> int:
         sw_pallas_stream(
             profs, packm.streams, packm.fs, go, ge,
             nslots=len(packm.slot_ids), nw=cfgm.nw, jb=cfgm.jb, ui=cfgm.ui,
-            ic=cfgm.ic,
+            ic=cfgm.ic, pipe=cfgm.pipe,
         )
     )
     for k in range(nq):
