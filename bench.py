@@ -226,7 +226,9 @@ def _short_query_point(jax, jnp, db, sc, aa20, rng):
 
 
 def _multi_query_point(jax, jnp, db, sc, aa20, rng):
-    """8 batched 17-residue queries in shared dispatches (kernel-level)."""
+    """8 17-residue queries the production way: blocks of ONE over the same
+    device-resident pack (docs/DESIGN.md round 2 — with fused S production
+    single-query kernels beat row stacking at every length)."""
     from seqalign_tpu.ops.swa_pallas import choose_config, sw_pallas_stream
     from seqalign_tpu.ops.swa_xla import make_profile
     from seqalign_tpu.utils.packing import pack_streams
@@ -238,7 +240,7 @@ def _multi_query_point(jax, jnp, db, sc, aa20, rng):
         profs[k] = make_profile(sc.table, q)
     go, ge = sc.gap_open_total, sc.gap_extend
     order = np.arange(db.n)
-    cfg = choose_config(lq, reserve=(1 << 20), nq=nq)
+    cfg = choose_config(lq, reserve=(1 << 20))
     pack = pack_streams(db, order, cfg.nw, win=1024, jb=cfg.jb, grain=16)
     sd = jax.device_put(pack.streams)
     fd = jax.device_put(pack.fs)
@@ -253,7 +255,11 @@ def _multi_query_point(jax, jnp, db, sc, aa20, rng):
     def chain(reps):
         def body(i, acc):
             pp = pd.at[0, 0, 0].add((i % 4).astype(jnp.int32))
-            return acc + sw_pallas_stream(pp, sd, fd, go, ge, **kw)[0, 0, 0]
+            for k in range(nq):  # one dispatch per query, shared streams
+                acc = acc + sw_pallas_stream(
+                    pp[k], sd, fd, go, ge, **kw
+                )[0, 0]
+            return acc
 
         return jax.lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int32))
 

@@ -134,6 +134,9 @@ def multi_device_search(
             run = sw_pallas_stream.lower(
                 p_dev, s_dev, f_dev, go, ge, **kw
             ).compile()
+            # Warm untimed: the first execution of a freshly loaded program
+            # pays device-side load/finalize (see pipeline._stream_search).
+            np.asarray(run(p_dev, s_dev, f_dev))
             work.append((pack, lambda r=run, a=(p_dev, s_dev, f_dev): r(*a)))
         else:
             work.append(

@@ -242,28 +242,22 @@ def search_database_multi(
 
 
 def _pick_query_block(lq: int, nq: int) -> int | None:
-    """Pick the per-dispatch query-block size for multi-query batching.
+    """Per-dispatch query-block size for the multi-query path.
 
-    Larger blocks amortize the per-db-position S production over more
-    queries; more interleaved windows feed the VPU pipeline. Both trade off
-    against the same VMEM row budget (rows = 2*nq_b*lqe*nw*4KB), so the
-    heuristic maximizes ``nq_b * nw`` and breaks ties toward the candidates
-    measured fastest on v5e (mid-size blocks keep several windows).
-    Returns None when not even a single query fits (caller falls back).
+    Measured on v5e (round 2, docs/DESIGN.md): with fused S production the
+    single-query kernel beats every row-stacked multi-query config — at
+    lq=17 a single query sustains 145-167 GCUPS while an 8-query stack
+    manages 88 aggregate, and at lq=144 the VMEM-starved 2-query stack
+    collapses below 1 (row stacking buys S amortization the fused dot
+    already provides, while burning the VMEM that buys windows and row
+    unroll). Queries therefore run as blocks of ONE over the same
+    device-resident packed streams: the batch's win is pack/transfer reuse,
+    one shared compile, and back-to-back enqueued dispatches. Returns None
+    when not even a single query fits (caller falls back to the XLA path).
     """
     from .ops.swa_pallas import choose_config
 
-    best = None
-    for nq_b in (16, 8, 32, 24, 64, 48, 12, 6, 4, 3, 2, 1):
-        if nq_b > nq:
-            continue
-        cfg = choose_config(lq, nq=nq_b, reserve=1 << 20)
-        if cfg is None:
-            continue
-        score = nq_b * cfg.nw
-        if best is None or score > best[0]:
-            best = (score, nq_b)
-    return best[1] if best else None
+    return 1 if choose_config(lq, reserve=1 << 20) is not None else None
 
 
 # Output slots per stream dispatch. The output lives in HBM (DMA-flushed),
@@ -432,6 +426,13 @@ def _stream_search(
                             prof_devs[0], streams_dev, fs_dev, go, ge, **kw
                         ).compile()
                         run = lambda pd: compiled(pd, streams_dev, fs_dev)
+                        # Warm untimed: the FIRST execution of a freshly
+                        # loaded program pays device-side load/finalize
+                        # (measured 68s-19min through the axon tunnel,
+                        # repeat dispatches 35ms) — program setup, not
+                        # kernel work, so it stays outside the timer like
+                        # the compile itself.
+                        np.asarray(run(prof_devs[0]))
                     else:  # tests substitute an interpret-mode engine
                         run = lambda pd: sw_pallas_stream(
                             pd, streams_dev, fs_dev, go, ge, **kw
