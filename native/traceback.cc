@@ -56,10 +56,14 @@ int64_t sw_tb_fill(const int8_t* q, int64_t lq, const int8_t* d, int64_t lb,
   int32_t best = 0;
   int64_t bj = 0, bi = 0;
   for (int64_t j = 1; j <= lb; ++j) {
-    const int8_t* trow = table + 32 * static_cast<int64_t>(d[j - 1]);
-    uint8_t* st = states + j * w;
     // Substitution scores widened once (helps pass A vectorize).
-    for (int64_t i = 0; i < lq; ++i) srow32[i] = trow[q[i]];
+    // NB: the convention is table[q_char][d_char] (row = QUERY character),
+    // matching the NumPy fill and the oracle — asymmetric matrices depend
+    // on this orientation.
+    const int64_t dj = static_cast<int64_t>(d[j - 1]);
+    uint8_t* st = states + j * w;
+    for (int64_t i = 0; i < lq; ++i)
+      srow32[i] = table[static_cast<int64_t>(q[i]) * 32 + dj];
 
     // Pass A: H and E from the previous row only — branchless, SIMD-able.
     h_cur[0] = e_cur[0] = f_cur[0] = 0;
@@ -154,8 +158,9 @@ int64_t sw_tb_ends(const int8_t* q, int64_t lq, const int8_t* d, int64_t lb,
   int32_t best = 0;
   int64_t bj = 0, bi = 0;
   for (int64_t j = 1; j <= lb; ++j) {
-    const int8_t* trow = table + 32 * static_cast<int64_t>(d[j - 1]);
-    for (int64_t i = 0; i < lq; ++i) srow32[i] = trow[q[i]];
+    const int64_t dj = static_cast<int64_t>(d[j - 1]);
+    for (int64_t i = 0; i < lq; ++i)
+      srow32[i] = table[static_cast<int64_t>(q[i]) * 32 + dj];
     h_cur[0] = e_cur[0] = f_cur[0] = 0;
     for (int64_t i = 1; i <= lq; ++i) {
       int32_t m = imax(imax(h_prev[i - 1], e_prev[i - 1]), f_prev[i - 1]);

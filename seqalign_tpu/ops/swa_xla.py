@@ -85,18 +85,10 @@ def sw_scan(profile: jax.Array, db: jax.Array, go: int, ge: int) -> jax.Array:
     return best
 
 
-@partial(jax.jit, static_argnames=("go", "ge"))
-def sw_wavefront(
-    profile: jax.Array, db: jax.Array, go: int, ge: int
-) -> jax.Array:
-    """Anti-diagonal wavefront engine: one vector step per diagonal.
+def _wavefront_scan(profile, db, go, ge, track_ends: bool):
+    """Shared anti-diagonal wavefront body (see sw_wavefront docstring).
 
-    On diagonal ``d``, query position ``i`` holds cell ``(i, j=d-i)``.
-    Dependencies: F needs ``(i-1, j)`` = diagonal ``d-1`` shifted by one in
-    ``i``; E needs ``(i, j-1)`` = diagonal ``d-1`` unshifted; H needs
-    ``max(H,E,F)`` at ``(i-1, j-1)`` = diagonal ``d-2`` shifted. Invalid
-    cells (``j`` outside ``[0, Lb)``) are masked to zero, which reproduces
-    the zero boundary row/column of local alignment for free.
+    ``track_ends`` additionally carries per-lane argmax coordinates.
     """
     profile = profile.astype(jnp.int32)
     db = db.astype(jnp.int32)
@@ -108,7 +100,10 @@ def sw_wavefront(
         return jnp.concatenate([jnp.zeros((1, b), jnp.int32), x[:-1]], axis=0)
 
     def step(carry, d):
-        h1, e1, f1, t2, best = carry  # 1 = diagonal d-1, t2 = max3 at d-2
+        if track_ends:
+            h1, e1, f1, t2, best, bj, bi = carry
+        else:
+            h1, e1, f1, t2, best = carry  # 1 = diag d-1, t2 = max3 at d-2
         j = d - iota_i  # (Lq,)
         valid = (j >= 0) & (j < lb)
         db_diag = jnp.take(db, jnp.clip(j, 0, lb - 1), axis=0)  # (Lq, B)
@@ -126,19 +121,44 @@ def sw_wavefront(
         h_new = jnp.where(mask, h_new, 0)
         e_new = jnp.where(mask, e_new, 0)
         f_new = jnp.where(mask, f_new, 0)
-        best = jnp.maximum(best, h_new.max(axis=0))
         # The next step's "two-diagonals-back" max3 is this step's d-1 max3.
         t1 = jnp.maximum(jnp.maximum(h1, e1), f1)
+        if track_ends:
+            colbest = h_new.max(axis=0)
+            coli = jnp.argmax(h_new, axis=0).astype(jnp.int32)  # first max
+            upd = colbest > best
+            best = jnp.where(upd, colbest, best)
+            bi = jnp.where(upd, coli + 1, bi)
+            bj = jnp.where(upd, d - coli + 1, bj)
+            return (h_new, e_new, f_new, t1, best, bj, bi), None
+        best = jnp.maximum(best, h_new.max(axis=0))
         return (h_new, e_new, f_new, t1, best), None
 
     z = jnp.zeros((lq, b), jnp.int32)
-    best0 = jnp.zeros((b,), jnp.int32)
-    (_, _, _, _, best), _ = jax.lax.scan(
-        step,
-        (z, z, z, z, best0),
-        jnp.arange(lq + lb - 1, dtype=jnp.int32),
+    z1 = jnp.zeros((b,), jnp.int32)
+    carry0 = (z, z, z, z, z1) + ((z1, z1) if track_ends else ())
+    final, _ = jax.lax.scan(
+        step, carry0, jnp.arange(lq + lb - 1, dtype=jnp.int32)
     )
-    return best
+    if track_ends:
+        return final[4], final[5], final[6]
+    return final[4]
+
+
+@partial(jax.jit, static_argnames=("go", "ge"))
+def sw_wavefront(
+    profile: jax.Array, db: jax.Array, go: int, ge: int
+) -> jax.Array:
+    """Anti-diagonal wavefront engine: one vector step per diagonal.
+
+    On diagonal ``d``, query position ``i`` holds cell ``(i, j=d-i)``.
+    Dependencies: F needs ``(i-1, j)`` = diagonal ``d-1`` shifted by one in
+    ``i``; E needs ``(i, j-1)`` = diagonal ``d-1`` unshifted; H needs
+    ``max(H,E,F)`` at ``(i-1, j-1)`` = diagonal ``d-2`` shifted. Invalid
+    cells (``j`` outside ``[0, Lb)``) are masked to zero, which reproduces
+    the zero boundary row/column of local alignment for free.
+    """
+    return _wavefront_scan(profile, db, go, ge, track_ends=False)
 
 
 @partial(jax.jit, static_argnames=("go", "ge"))
@@ -158,48 +178,4 @@ def sw_wavefront_ends(
     runs its reverse window + rectangle (ops/traceback.py) instead of a
     full forward pass over each pair.
     """
-    profile = profile.astype(jnp.int32)
-    db = db.astype(jnp.int32)
-    lq = profile.shape[0]
-    lb, b = db.shape
-    iota_i = jnp.arange(lq, dtype=jnp.int32)
-
-    def shift(x):
-        return jnp.concatenate([jnp.zeros((1, b), jnp.int32), x[:-1]], axis=0)
-
-    def step(carry, d):
-        h1, e1, f1, t2, best, bj, bi = carry
-        j = d - iota_i
-        valid = (j >= 0) & (j < lb)
-        db_diag = jnp.take(db, jnp.clip(j, 0, lb - 1), axis=0)
-        s = jnp.take_along_axis(profile, db_diag, axis=1)
-
-        h_new = jnp.maximum(shift(t2) + s, 0)
-        e_new = jnp.maximum(
-            jnp.maximum(jnp.maximum(h1, f1) + go, e1 + ge), 0
-        )
-        sh_h, sh_e, sh_f = shift(h1), shift(e1), shift(f1)
-        f_new = jnp.maximum(
-            jnp.maximum(jnp.maximum(sh_h, sh_e) + go, sh_f + ge), 0
-        )
-        mask = valid[:, None]
-        h_new = jnp.where(mask, h_new, 0)
-        e_new = jnp.where(mask, e_new, 0)
-        f_new = jnp.where(mask, f_new, 0)
-        colbest = h_new.max(axis=0)
-        coli = jnp.argmax(h_new, axis=0).astype(jnp.int32)  # first max
-        upd = colbest > best
-        best = jnp.where(upd, colbest, best)
-        bi = jnp.where(upd, coli + 1, bi)
-        bj = jnp.where(upd, d - coli + 1, bj)
-        t1 = jnp.maximum(jnp.maximum(h1, e1), f1)
-        return (h_new, e_new, f_new, t1, best, bj, bi), None
-
-    z = jnp.zeros((lq, b), jnp.int32)
-    z1 = jnp.zeros((b,), jnp.int32)
-    (_, _, _, _, best, bj, bi), _ = jax.lax.scan(
-        step,
-        (z, z, z, z, z1, z1, z1),
-        jnp.arange(lq + lb - 1, dtype=jnp.int32),
-    )
-    return best, bj, bi
+    return _wavefront_scan(profile, db, go, ge, track_ends=True)

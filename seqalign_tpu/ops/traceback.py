@@ -59,7 +59,17 @@ def native_available() -> bool:
     return _load_native() is not None
 
 
+def _native_for(table):
+    """The native library handle, or None when the table is outside its
+    int8 envelope (the engines support |score| up to 256 = bf16-exact;
+    casting such a table to int8 would silently wrap)."""
+    if int(np.abs(np.asarray(table)).max(initial=0)) > 127:
+        return None
+    return _load_native()
+
+
 _states_cache = np.empty(0, dtype=np.uint8)
+_STATES_CACHE_CAP = 64 << 20  # don't pin more than 64 MB across calls
 
 
 def _states_buffer(cells: int) -> np.ndarray:
@@ -68,8 +78,12 @@ def _states_buffer(cells: int) -> np.ndarray:
     On this class of VM a fresh multi-MB ``np.empty`` costs more in page
     faults than the whole native fill (~11 ms/MB measured); reusing one
     growable buffer across top-k re-alignments removes that entirely.
+    Oversized requests (up to MAX_CELLS ~ 1 GB) allocate fresh instead of
+    pinning that much host memory for the process lifetime.
     """
     global _states_cache
+    if cells > _STATES_CACHE_CAP:
+        return np.empty(cells, dtype=np.uint8)
     if _states_cache.size < cells:
         _states_cache = np.empty(cells, dtype=np.uint8)
     return _states_cache[:cells]
@@ -174,7 +188,7 @@ def _score_ends(q, d, table, go, ge):
     fill's first-encountered rule (j outer ascending, i inner ascending).
     """
     lq, lb = len(q), len(d)
-    lib = _load_native()
+    lib = _native_for(table)
     if lib is not None:
         q8 = np.ascontiguousarray(q, dtype=np.int8)
         d8 = np.ascontiguousarray(d, dtype=np.int8)
@@ -310,7 +324,7 @@ def _direct_traceback(
             cigar=flipped.cigar.translate(str.maketrans("ID", "DI")),
         )
 
-    lib = _load_native()
+    lib = _native_for(table)
     if lib is not None:
         states = _states_buffer((lb + 1) * (lq + 1)).reshape(lb + 1, lq + 1)
         q8 = np.ascontiguousarray(q, dtype=np.int8)

@@ -131,12 +131,22 @@ def multi_device_search(
             pipe=cfg.pipe,
         )
         if engine_fn is None:
-            run = sw_pallas_stream.lower(
-                p_dev, s_dev, f_dev, go, ge, **kw
-            ).compile()
-            # Warm untimed: the first execution of a freshly loaded program
-            # pays device-side load/finalize (see pipeline._stream_search).
-            np.asarray(run(p_dev, s_dev, f_dev))
+            from ..pipeline import _EXEC_CACHE
+
+            key = (
+                "mdev", str(dev), p_dev.shape, s_dev.shape, f_dev.shape,
+                int(go), int(ge), tuple(sorted(kw.items())),
+            )
+            run = _EXEC_CACHE.get(key)
+            if run is None:
+                run = sw_pallas_stream.lower(
+                    p_dev, s_dev, f_dev, go, ge, **kw
+                ).compile()
+                # Warm untimed: the first execution of a freshly loaded
+                # program pays device-side load/finalize (see
+                # pipeline._stream_search).
+                np.asarray(run(p_dev, s_dev, f_dev))
+                _EXEC_CACHE[key] = run
             work.append((pack, lambda r=run, a=(p_dev, s_dev, f_dev): r(*a)))
         else:
             work.append(

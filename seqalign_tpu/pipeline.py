@@ -264,6 +264,13 @@ def _pick_query_block(lq: int, nq: int) -> int | None:
 # so this only bounds host-side chunk memory; shapes round up for reuse.
 MAX_STREAM_SLOTS = 4096
 
+# Process-lifetime cache of AOT-compiled (and warmed) stream executables,
+# keyed by input shapes + static kernel params. Chunk shapes deliberately
+# recur (nslots rounding, stream-length granularity), so later chunks skip
+# the re-lower AND the one-time device program load/finalize the first
+# execution pays (see the warm-up note in _stream_search).
+_EXEC_CACHE: dict = {}
+
 # Striped (long-query) scans stream (Gg, F) stripe boundaries through HBM at
 # ~8 B per database residue per direction; cap residues per dispatch so
 # in+out boundary arrays stay ~2 GB and never OOM 16 GB HBM (a 4.2M-record
@@ -422,17 +429,30 @@ def _stream_search(
                     # shared by every query block (identical shapes).
                     lower = getattr(sw_pallas_stream, "lower", None)
                     if lower is not None:
-                        compiled = lower(
-                            prof_devs[0], streams_dev, fs_dev, go, ge, **kw
-                        ).compile()
-                        run = lambda pd: compiled(pd, streams_dev, fs_dev)
-                        # Warm untimed: the FIRST execution of a freshly
-                        # loaded program pays device-side load/finalize
-                        # (measured 68s-19min through the axon tunnel,
-                        # repeat dispatches 35ms) — program setup, not
-                        # kernel work, so it stays outside the timer like
-                        # the compile itself.
-                        np.asarray(run(prof_devs[0]))
+                        key = (
+                            prof_devs[0].shape, str(prof_devs[0].dtype),
+                            streams_dev.shape, str(streams_dev.dtype),
+                            fs_dev.shape, int(go), int(ge),
+                            tuple(sorted(kw.items())),
+                        )
+                        compiled = _EXEC_CACHE.get(key)
+                        if compiled is None:
+                            compiled = lower(
+                                prof_devs[0], streams_dev, fs_dev, go, ge,
+                                **kw
+                            ).compile()
+                            # Warm untimed: the FIRST execution of a
+                            # freshly loaded program pays device-side
+                            # load/finalize (measured 68s-19min through the
+                            # axon tunnel, repeat dispatches 35ms) —
+                            # program setup, not kernel work, so it stays
+                            # outside the timer like the compile itself.
+                            np.asarray(compiled(prof_devs[0], streams_dev, fs_dev))
+                            _EXEC_CACHE[key] = compiled
+                        run = (
+                            lambda pd, c=compiled, s=streams_dev, f=fs_dev:
+                            c(pd, s, f)
+                        )
                     else:  # tests substitute an interpret-mode engine
                         run = lambda pd: sw_pallas_stream(
                             pd, streams_dev, fs_dev, go, ge, **kw

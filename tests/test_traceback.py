@@ -107,6 +107,41 @@ class TestTraceback:
         )[:3]
 
 
+class TestNativeEnvelope:
+    """Regressions for the native fill's table orientation and int8 range."""
+
+    def test_asymmetric_matrix(self, rng):
+        """table[q, d] orientation: an asymmetric matrix must score
+        identically through native and NumPy paths (round-2 review bug:
+        the native kernel read table[d][q])."""
+        import seqalign_tpu.ops.traceback as tbm
+        from seqalign_tpu.ops.oracle import sw_score_single
+
+        for trial in range(10):
+            table = rng.integers(-8, 12, (32, 32)).astype(np.int32)
+            q = rng.integers(1, 27, int(rng.integers(5, 30)))
+            d = rng.integers(1, 27, int(rng.integers(5, 60)))
+            want = sw_score_single(q, d, table, -2, -1)
+            aln = sw_traceback(q, d, table, -2, -1)
+            assert aln.score == want, trial
+            check_alignment_consistent(aln, q, d, table, -2, -1)
+
+    def test_large_scores_skip_native(self, rng):
+        """Scores beyond int8 (allowed up to the engines' 256 envelope)
+        must not be wrapped by the native int8 cast."""
+        import seqalign_tpu.ops.traceback as tbm
+        from seqalign_tpu.ops.oracle import sw_score_single
+
+        table = np.full((32, 32), -5, dtype=np.int32)
+        np.fill_diagonal(table, 200)  # > int8 max, < bf16-exact 256
+        assert tbm._native_for(table) is None
+        q = rng.integers(1, 27, 12)
+        d = np.concatenate([rng.integers(1, 27, 9), q, rng.integers(1, 27, 7)])
+        want = sw_score_single(q, d, table, -2, -1)
+        aln = sw_traceback(q, d, table, -2, -1)
+        assert aln.score == want >= 200 * 12 - 100
+
+
 class TestLocalizedTraceback:
     """The linear-space recompute path for huge pairs (ends + rectangle)."""
 
