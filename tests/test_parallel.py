@@ -137,3 +137,56 @@ class TestMultiDevice:
         )
         want, _ = search_encoded(q, encoded, sc, engine="wavefront")
         np.testing.assert_array_equal(got, want)
+
+
+class TestLongPair:
+    """Sequence-parallel single-pair alignment: query rows sharded across
+    the mesh, stripe boundaries exchanged over ICI (parallel/longpair.py) —
+    the SURVEY §2 context-parallel-like stretch row."""
+
+    def test_matches_wavefront(self, rng, blosum62, mesh8):
+        from seqalign_tpu.ops.swa_xla import make_profile, sw_wavefront
+        from seqalign_tpu.parallel.longpair import sw_longpair
+        from conftest import random_protein
+
+        sc = blosum62
+        for lq, lb, b, jb in [(100, 333, 16, 32), (7, 500, 8, 64)]:
+            q = sc.query_indices(random_protein(rng, lq))
+            prof = make_profile(sc.table, q)
+            db = np.full((lb, b), 31, dtype=np.int32)
+            for lane in range(b):
+                s = sc.query_indices(
+                    random_protein(rng, int(rng.integers(1, lb)))
+                )
+                db[: len(s), lane] = s
+            got = np.asarray(sw_longpair(prof, db, sc.gap_open_total,
+                                         sc.gap_extend, mesh8, jb=jb))
+            want = np.asarray(
+                sw_wavefront(prof, db, sc.gap_open_total, sc.gap_extend)
+            )
+            np.testing.assert_array_equal(got, want)
+
+    def test_single_device_mesh(self, rng, blosum62):
+        """Degenerate 1-device mesh: the pipeline reduces to plain blocks."""
+        import jax
+
+        from seqalign_tpu.ops.swa_xla import make_profile, sw_wavefront
+        from seqalign_tpu.parallel.longpair import sw_longpair
+        from seqalign_tpu.parallel.sharding import make_mesh
+        from conftest import random_protein
+
+        sc = blosum62
+        mesh1 = make_mesh(jax.devices()[:1], axis="q")
+        q = sc.query_indices(random_protein(rng, 23))
+        prof = make_profile(sc.table, q)
+        db = np.full((100, 8), 31, dtype=np.int32)
+        for lane in range(8):
+            s = sc.query_indices(random_protein(rng, 60))
+            db[: len(s), lane] = s
+        got = np.asarray(
+            sw_longpair(prof, db, sc.gap_open_total, sc.gap_extend, mesh1)
+        )
+        want = np.asarray(
+            sw_wavefront(prof, db, sc.gap_open_total, sc.gap_extend)
+        )
+        np.testing.assert_array_equal(got, want)
