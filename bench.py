@@ -4,10 +4,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload mirrors the reference's headline benchmark (BASELINE.md): a single
 protein query scored against a Swiss-Prot-scale database (565,247 records,
-gamma length distribution with the Swiss-Prot mean ~363, 20-standard-AA
-residues), PAM250, timing the DP kernel region only — the reference's own
-boundary (src/alignment_cmdline.c:503-509 times only the OpenMP kernel
-loop, excluding FASTA parsing and batch packing).
+gamma length distribution with the Swiss-Prot mean ~363, residues drawn
+from UniProt average amino-acid frequencies), PAM250, timing the DP kernel
+region only — the reference's own boundary (src/alignment_cmdline.c:503-509
+times only the OpenMP kernel loop, excluding FASTA parsing and packing).
 
 Metric: sustained GCUPS over *real* database residues (padding excluded
 from the numerator; query length 144).
@@ -52,10 +52,19 @@ BASELINE_ENTRIES_PER_S = 6_978_358.0  # reference best published entries/s
 ROOFLINE_GCUPS = 469.0
 
 DB_CAVEAT = (
-    "synthetic database (gamma lengths, uniform 20-AA residues) at "
-    "Swiss-Prot scale; real Swiss-Prot length/composition bias unmeasured "
-    "(reference snapshot ships no fixtures)"
+    "synthetic database at Swiss-Prot scale (gamma lengths fitted to the "
+    "Swiss-Prot mean, residues drawn from UniProt average amino-acid "
+    "frequencies); the real Swiss-Prot file is unavailable (reference "
+    "snapshot ships no fixtures, environment has no egress)"
 )
+
+# UniProt/Swiss-Prot average amino-acid composition (%), order
+# ACDEFGHIKLMNPQRSTVWY — real-ish residue statistics instead of uniform.
+AA_FREQS = np.array([
+    8.25, 1.37, 5.45, 6.75, 3.86, 7.07, 2.27, 5.96, 5.84, 9.66,
+    2.42, 4.06, 4.70, 3.93, 5.53, 6.56, 5.34, 6.87, 1.08, 2.92,
+])
+AA_FREQS = AA_FREQS / AA_FREQS.sum()
 
 
 def main() -> None:
@@ -73,7 +82,7 @@ def main() -> None:
     sc = load_builtin(
         "PAM250", ScoringModel(gap_open=-2, gap_extend=-1, use_match_mismatch=False)
     )
-    query = aa20[rng.integers(0, 20, QUERY_LEN)].astype(np.int32)
+    query = aa20[rng.choice(20, QUERY_LEN, p=AA_FREQS)].astype(np.int32)
     profile = make_profile(sc.table, query)
     go, ge = sc.gap_open_total, sc.gap_extend
 
@@ -85,7 +94,7 @@ def main() -> None:
     # Flat-buffer database, sequences drawn lazily per record.
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
-    seq = aa20[rng.integers(0, 20, int(offsets[-1]))]
+    seq = aa20[rng.choice(20, int(offsets[-1]), p=AA_FREQS)]
     from seqalign_tpu.utils.native_io import EncodedDatabase
 
     db = EncodedDatabase(seq=seq, offsets=offsets, names=[""] * n)
@@ -179,7 +188,7 @@ def _short_query_point(jax, jnp, db, sc, aa20, rng):
     from seqalign_tpu.utils.packing import pack_streams
 
     lq = 17
-    q = aa20[rng.integers(0, 20, lq)].astype(np.int32)
+    q = aa20[rng.choice(20, lq, p=AA_FREQS)].astype(np.int32)
     prof = make_profile(sc.table, q)
     go, ge = sc.gap_open_total, sc.gap_extend
     order = np.arange(db.n)
@@ -236,7 +245,7 @@ def _multi_query_point(jax, jnp, db, sc, aa20, rng):
     nq, lq = 8, 17
     profs = np.zeros((nq, lq, 32), dtype=np.int32)
     for k in range(nq):
-        q = aa20[rng.integers(0, 20, lq)].astype(np.int32)
+        q = aa20[rng.choice(20, lq, p=AA_FREQS)].astype(np.int32)
         profs[k] = make_profile(sc.table, q)
     go, ge = sc.gap_open_total, sc.gap_extend
     order = np.arange(db.n)
