@@ -500,6 +500,40 @@ class TestStreamSearch:
         want, _ = search_encoded(q, encoded, sc, engine="wavefront")
         np.testing.assert_array_equal(got, want)
 
+    def test_f32_guard_routes_pathological_long_query(
+        self, blosum62, monkeypatch
+    ):
+        """A query long enough that its max attainable score reaches 2**24
+        must bypass the f32 Pallas stream (striping has no length cap) and
+        route to the int32 XLA engine (VERDICT round-1 item #4)."""
+        import jax
+
+        import seqalign_tpu.pipeline as pl
+
+        sc = blosum62
+        from seqalign_tpu.models import encode
+
+        w = int(encode("W")[0])  # the max-scoring residue (W-W = 11)
+        lq = 2**24 // int(sc.table[w].max()) + 8
+        q = np.full(lq, w, dtype=np.int32)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        streamed = []
+        monkeypatch.setattr(
+            pl, "_stream_search",
+            lambda *a, **k: streamed.append(1)
+            or (np.zeros(1, np.int32), 0.0),
+        )
+        engines = []
+
+        def fake_engine(name):
+            engines.append(name)
+            return lambda p, d, go, ge: np.zeros(d.shape[-1], np.int32)
+
+        monkeypatch.setattr(pl, "get_engine", fake_engine)
+        db = pl._db_from_encoded([np.array([1, 2, 3], np.int8)])
+        pl.search_database(q, db, sc, engine="pallas")
+        assert not streamed and engines == ["wavefront"]
+
     def test_checkpoint_resume(self, rng, blosum62, monkeypatch, tmp_path):
         """Chunk checkpointing: a resumed scan skips completed chunks."""
         import functools
