@@ -140,18 +140,26 @@ def _run_block(
     the capability the reference lacks entirely (one query per run,
     ``src/alignment_cmdline.c:355-360``).
 
-    S-production pipelining (``pipe``): the round-1 isolation study
-    (docs/DESIGN.md "The S-path wall") showed the serialized
-    produce-S-then-run-DP phases leave the substitution matmul's result
-    stream with nothing to co-issue against. Because the chunk loop is
-    Python-unrolled, the double-buffer parity is *static* (no dynamic
-    indices, the round-1 blocker): ``pipe`` requires ``ic == ui`` (one row
-    group per chunk, emitted as straight-line code with no fori_loop
-    boundary) and ``s_buf`` allocated with a leading ``2*nw`` windows.
-      pipe=1: issue chunk c+1's dots (into parity (c+1)%2) before chunk c's
-              DP rows, leaving the scheduler free to overlap them;
-      pipe=2: additionally spread chunk c+1's per-(w,t) dots between chunk
-              c's DP rows at source level (explicit software pipelining).
+    S-production variants (``pipe``, round-2 study in docs/DESIGN.md):
+    because the chunk loop is Python-unrolled, the double-buffer parity is
+    *static* (no dynamic indices, the round-1 blocker); ``pipe`` requires
+    ``ic`` a multiple of ``ui`` (row groups emitted straight-line, no
+    fori_loop boundary).
+      pipe=1: issue chunk c+1's dots before chunk c's DP rows;
+      pipe=2: spread those dots between DP rows at source level;
+      pipe=3: consume dot results as values (no s_buf round trip);
+      pipe=4: bf16 s_buf (half the S bytes);
+      pipe=5: fuse each window's JB dots into one taller dot;
+      pipe=6: fuse EVERYTHING into ONE (IC,32)@(32,NW*JB*SL,LANES) dot per
+              chunk — the merged-sublane s_buf layout makes the dot's
+              natural output order the DP's read order, so fusion costs no
+              relayout.
+    Measured: 1-4 change nothing (the wall is not scheduling, store slots,
+    or VMEM bandwidth); 5/6 are the production winners (dot COUNT is the
+    cost at short/mid query lengths: 2x at lq=17 with a whole-query fused
+    dot, +10-15%% at lq~96-190). choose_config encodes the hardware-
+    validated per-band rankings; modes 1-4 remain as the documented
+    negative results' repro (tools/exp_spipe.py).
     """
     if lqe is None:
         lqe = lqp
