@@ -50,8 +50,10 @@ def timed_gcups(fn, cells_per_call, r1=1, r2=5):
     # warm both shapes (compile)
     np.asarray(chain(r1))
     np.asarray(chain(r2))
-    t1 = min(run(r1) for _ in range(2))
-    t2 = min(run(r2) for _ in range(2))
+    # best-of-3: run-to-run spread on this host is +-6-10% and single
+    # outliers have misled config decisions (docs/DESIGN.md round 2)
+    t1 = min(run(r1) for _ in range(3))
+    t2 = min(run(r2) for _ in range(3))
     dt = max((t2 - t1) / (r2 - r1), 1e-9)
     return cells_per_call / dt / 1e9
 
