@@ -1133,8 +1133,9 @@ _SHAPES_LONG = [
     (2, 8, 2, 0, False), (1, 4, 8, 0, False), (1, 4, 4, 0, False),
     (1, 2, 1, 0, False),
 ]
-# 96 <= lq < 192: fused production wins ((2,4,16) pipe=6: 216-239 GCUPS at
-# lq=144 vs 204 for every pipe=0 shape).
+# 96 <= lq < 256: fused production wins or ties ((2,4,16) pipe=6: 216-239
+# GCUPS at lq=144 vs 204 for every pipe=0 shape; 219 vs 222 at 192; 220 vs
+# 224 at 256 — the boundary sits where the tie flips).
 _SHAPES_XLONG = [
     (2, 4, 16, 6, False), (4, 4, 16, 6, False),
     (4, 4, 16, 0, False), (2, 4, 16, 0, False), (2, 8, 16, 0, False),
@@ -1183,7 +1184,7 @@ def choose_config(
         shapes = _SHAPES_SHORT
     elif lq < 96:
         shapes = _SHAPES_LONG
-    elif lq < 192:
+    elif lq < 256:
         shapes = _SHAPES_XLONG
     else:
         shapes = _SHAPES_XXLONG
