@@ -593,6 +593,7 @@ class TestStreamSearch:
 
 def test_benchmark_harness_smoke(tmp_path):
     """benchmarks/benchmark.py parses the CLI and reports mean+-std."""
+    import os
     import subprocess
     import sys
     from pathlib import Path
@@ -602,6 +603,10 @@ def test_benchmark_harness_smoke(tmp_path):
     d = tmp_path / "db.fa"
     q.write_text(">q\nACDEFGHIKLMNPQRSTVWY\n")
     d.write_text("".join(f">r{i}\nACDEFGHIK\n" for i in range(20)))
+    env = dict(os.environ)
+    # Hermetic: without this the CLI subprocesses grab the host's real TPU
+    # and pay multi-minute remote compiles for the tiny smoke shapes.
+    env["SEQALIGN_PLATFORM"] = "cpu"
     out = subprocess.run(
         [
             sys.executable, str(repo / "benchmarks/benchmark.py"),
@@ -610,6 +615,7 @@ def test_benchmark_harness_smoke(tmp_path):
         capture_output=True,
         text=True,
         cwd=repo,
+        env=env,
         check=True,
     ).stdout
     assert "wavefront" in out and "entries/s" in out
