@@ -29,14 +29,28 @@ Timing method: the axon-tunneled TPU has ~28 ms dispatch RTT and an
 early-acking block_until_ready, so naive wall timing is wrong in both
 directions. The whole database is scored in ONE segmented-stream kernel
 dispatch, and device time is measured by differencing fetched runs of 1 and
-3 chained repetitions (jit fori_loop with an index-perturbed input so XLA
-cannot hoist the call); the RTT cancels exactly.
+3 chained repetitions (one jit fori_loop program with a *dynamic* rep
+count and an index-perturbed input so XLA cannot hoist the call); the RTT
+cancels exactly.
+
+Cost structure (the round-2 lesson — BENCH_r02 timed out at rc=124):
+loading a freshly compiled program onto the TPU through the axon tunnel
+costs 68 s-19 min *per program* (pipeline.py _EXEC_CACHE notes), so this
+harness (a) enables the persistent XLA compile cache before touching jax,
+(b) builds exactly TWO jitted programs total — dynamic-rep chains replace
+the old chain(1)/chain(3) pairs, and the short-query + multi-query points
+share one program parameterized by a dynamic query count — and (c) runs
+under an in-process watchdog that prints the best-available result line
+and exits before the driver's timeout can strike.
 """
 
 from __future__ import annotations
 
-import functools
 import json
+import os
+import signal
+import sys
+import threading
 import time
 
 import numpy as np
@@ -66,10 +80,82 @@ AA_FREQS = np.array([
 ])
 AA_FREQS = AA_FREQS / AA_FREQS.sum()
 
+_T0 = time.time()
+_BUDGET_S = float(os.environ.get("SEQALIGN_BENCH_BUDGET_S", "780"))
+_EMIT_LOCK = threading.Lock()
+_BEST_LINE: list[str] = []  # best-available JSON line so far (len<=1)
+_DONE = threading.Event()
+
+
+def _stash(line: str) -> None:
+    with _EMIT_LOCK:
+        if _BEST_LINE:
+            _BEST_LINE[0] = line
+        else:
+            _BEST_LINE.append(line)
+
+
+def _emit_best_and_exit(code_if_empty: int) -> None:
+    with _EMIT_LOCK:
+        line = _BEST_LINE[0] if _BEST_LINE else None
+    if line is not None:
+        print(line, flush=True)
+        os._exit(0)
+    os._exit(code_if_empty)
+
+
+def _watchdog() -> None:
+    remaining = _BUDGET_S - (time.time() - _T0)
+    while remaining > 0 and not _DONE.wait(min(remaining, 5.0)):
+        remaining = _BUDGET_S - (time.time() - _T0)
+    if _DONE.is_set():
+        return
+    print(
+        f"bench watchdog: budget {_BUDGET_S:.0f}s reached, emitting "
+        "best-available result",
+        file=sys.stderr,
+        flush=True,
+    )
+    _emit_best_and_exit(code_if_empty=3)
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.time() - _T0)
+
+
+def _on_term(signum, frame) -> None:
+    # The driver enforces its own budget with `timeout` (SIGTERM, rc=124 —
+    # how BENCH_r02 died). Emit the best-available line before dying so the
+    # round always records a parsed result.
+    print(
+        f"bench: signal {signum}, emitting best-available result",
+        file=sys.stderr,
+        flush=True,
+    )
+    _emit_best_and_exit(code_if_empty=124)
+
 
 def main() -> None:
+    signal.signal(signal.SIGTERM, _on_term)
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    # Persistent compile cache BEFORE any jax work: kernel compiles cost
+    # 20-120 s and the cache dir already holds prior-round entries.
+    from seqalign_tpu.pipeline import _enable_compile_cache
+
+    _enable_compile_cache()
+
+    import functools
+
     import jax
     import jax.numpy as jnp
+
+    # SEQALIGN_PLATFORM=cpu|tpu forces the backend (hermetic smoke runs);
+    # same config-API route as the CLI (env JAX_PLATFORMS can lose to
+    # eager TPU plugin registration).
+    plat = os.environ.get("SEQALIGN_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     from seqalign_tpu.models import ScoringModel, load_builtin
     from seqalign_tpu.models.alphabet import encode
@@ -106,8 +192,9 @@ def main() -> None:
 
         order_scores, dt = search_database(query, db, sc, engine="wavefront")
         gcups = real_cells / dt / 1e9
-        _emit(gcups, dt, n, real_cells, backend, real_cells)
-        return
+        _stash(_result_line(gcups, dt, n, real_cells, backend, real_cells))
+        _DONE.set()
+        _emit_best_and_exit(code_if_empty=4)
 
     from seqalign_tpu.ops.swa_pallas import choose_config, sw_pallas_stream
     from seqalign_tpu.utils.packing import pack_streams
@@ -137,7 +224,9 @@ def main() -> None:
     prof_dev = jax.device_put(profile)
     jax.block_until_ready([prof_dev] + [p[0] for p in packs])
 
-    @functools.partial(jax.jit, static_argnames=("reps",))
+    # ONE program: dynamic rep count (fori_loop with a traced bound lowers
+    # to a while loop — same executable serves reps=1 and reps=3).
+    @jax.jit
     def chain(reps):
         def body(i, acc):
             # Index-perturbed profile: keeps every chained call distinct so
@@ -150,101 +239,82 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int32))
 
-    np.asarray(chain(1))  # compile + warm
-    np.asarray(chain(3))
+    t_load0 = time.time()
+    np.asarray(chain(1))  # compile (persistent-cached) + program load + warm
+    program_load_s = time.time() - t_load0
 
     def run(reps: int) -> float:
         t0 = time.perf_counter()
         np.asarray(chain(reps))
         return time.perf_counter() - t0
 
-    t1 = min(run(1) for _ in range(3))
+    # Provisional result the watchdog can fall back on: single fetched run,
+    # RTT included, so it is an honest lower bound on the kernel rate.
+    t_single = run(1)
+    _stash(
+        _result_line(
+            real_cells / t_single / 1e9, t_single, n, real_cells, backend,
+            padded_cells, provisional="single-run wall time, tunnel RTT "
+            "included (watchdog fallback; not the two-point kernel time)",
+        )
+    )
+
+    t1 = min(t_single, min(run(1) for _ in range(2)))
     t3 = min(run(3) for _ in range(3))
     dt = max((t3 - t1) / 2, 1e-9)
 
     gcups = real_cells / dt / 1e9
-
-    # Secondary point: a 17-residue query (the reference's inferred
-    # benchmark regime, BASELINE.md) over the same database. Repacked for
-    # the short-query kernel shape.
-    short = None
-    try:
-        short = _short_query_point(jax, jnp, db, sc, aa20, rng)
-    except Exception:
-        pass
-    # Multi-query point: 8 batched short queries (the CLI default for
-    # multi-record query files) sharing every per-position cost.
-    mq = None
-    try:
-        mq = _multi_query_point(jax, jnp, db, sc, aa20, rng)
-    except Exception:
-        pass
-    _emit(gcups, dt, n, real_cells, backend, padded_cells, short, mq)
-
-
-def _short_query_point(jax, jnp, db, sc, aa20, rng):
-    from seqalign_tpu.ops.swa_pallas import choose_config, sw_pallas_stream
-    from seqalign_tpu.ops.swa_xla import make_profile
-    from seqalign_tpu.utils.packing import pack_streams
-
-    lq = 17
-    q = aa20[rng.choice(20, lq, p=AA_FREQS)].astype(np.int32)
-    prof = make_profile(sc.table, q)
-    go, ge = sc.gap_open_total, sc.gap_extend
-    order = np.arange(db.n)
-    cfg = choose_config(lq, reserve=(1 << 20))
-    pack = pack_streams(db, order, cfg.nw, win=1024, jb=cfg.jb, grain=16)
-    sd = jax.device_put(pack.streams)
-    fd = jax.device_put(pack.fs)
-    pd = jax.device_put(prof)
-    jax.block_until_ready([sd, fd, pd])
-    kw = dict(
-        nslots=len(pack.slot_ids), nw=cfg.nw, jb=cfg.jb, ui=cfg.ui,
-        ic=cfg.ic, pipe=cfg.pipe,
+    _stash(
+        _result_line(
+            gcups, dt, n, real_cells, backend, padded_cells,
+            program_load_s=program_load_s,
+        )
     )
 
-    @functools.partial(jax.jit, static_argnames=("reps",))
-    def chain(reps):
-        def body(i, acc):
-            pp = pd.at[0, 0].add((i % 4).astype(jnp.int32))
-            return acc + sw_pallas_stream(pp, sd, fd, go, ge, **kw)[0, 0]
+    # Optional points: a 17-residue query (the reference's inferred
+    # benchmark regime, BASELINE.md) and 8 batched 17-residue queries (the
+    # CLI default for multi-record query files), sharing ONE jitted
+    # program. Only attempted if the remaining watchdog budget can absorb
+    # another program load (estimated from the main point's, floor 90 s).
+    short = mq = None
+    skip_reason = None
+    est_next_load = max(2.5 * program_load_s, 90.0)
+    if _remaining() > est_next_load:
+        try:
+            short, mq = _short_and_mq_points(
+                jax, jnp, functools, db, sc, aa20, rng
+            )
+        except Exception as ex:  # never let optional points kill the line
+            skip_reason = f"{type(ex).__name__}: {str(ex)[:160]}"
+    else:
+        skip_reason = (
+            f"skipped: {_remaining():.0f}s left < {est_next_load:.0f}s "
+            "estimated program-load cost"
+        )
+    _stash(
+        _result_line(
+            gcups, dt, n, real_cells, backend, padded_cells,
+            short=short, mq=mq, skip_reason=skip_reason,
+            program_load_s=program_load_s,
+        )
+    )
+    _DONE.set()
+    _emit_best_and_exit(code_if_empty=4)
 
-        return jax.lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int32))
 
-    np.asarray(chain(1))
-    np.asarray(chain(3))
-
-    def run(reps):
-        t0 = time.perf_counter()
-        np.asarray(chain(reps))
-        return time.perf_counter() - t0
-
-    t1 = min(run(1) for _ in range(2))
-    t3 = min(run(3) for _ in range(2))
-    dt = max((t3 - t1) / 2, 1e-9)
-    cells = lq * int(db.offsets[-1])
-    return {
-        "query_len": lq,
-        "gcups": round(cells / dt / 1e9, 1),
-        "entries_per_s": round(db.n / dt),
-        "vs_baseline_gcups": round(cells / dt / 1e9 / BASELINE_GCUPS, 2),
-        "vs_baseline_published_entries_per_s": round(
-            db.n / dt / BASELINE_ENTRIES_PER_S, 2
-        ),
-    }
-
-
-def _multi_query_point(jax, jnp, db, sc, aa20, rng):
-    """8 17-residue queries the production way: blocks of ONE over the same
-    device-resident pack (docs/DESIGN.md round 2 — with fused S production
-    single-query kernels beat row stacking at every length)."""
+def _short_and_mq_points(jax, jnp, functools, db, sc, aa20, rng):
+    """One program, two measurements: dynamic query count nq over stacked
+    17-residue profiles. nq=1 gives the short-query point, nq=8 the
+    multi-query aggregate (blocks of ONE over resident streams — the
+    production strategy, docs/DESIGN.md round 2). Every query's profile is
+    perturbed per chained rep so no dispatch is loop-invariant."""
     from seqalign_tpu.ops.swa_pallas import choose_config, sw_pallas_stream
     from seqalign_tpu.ops.swa_xla import make_profile
     from seqalign_tpu.utils.packing import pack_streams
 
-    nq, lq = 8, 17
-    profs = np.zeros((nq, lq, 32), dtype=np.int32)
-    for k in range(nq):
+    nq_max, lq = 8, 17
+    profs = np.zeros((nq_max, lq, 32), dtype=np.int32)
+    for k in range(nq_max):
         q = aa20[rng.choice(20, lq, p=AA_FREQS)].astype(np.int32)
         profs[k] = make_profile(sc.table, q)
     go, ge = sc.gap_open_total, sc.gap_extend
@@ -260,76 +330,99 @@ def _multi_query_point(jax, jnp, db, sc, aa20, rng):
         ic=cfg.ic, pipe=cfg.pipe,
     )
 
-    @functools.partial(jax.jit, static_argnames=("reps",))
-    def chain(reps):
+    @jax.jit
+    def chain(reps, nq):
         def body(i, acc):
-            pp = pd.at[0, 0, 0].add((i % 4).astype(jnp.int32))
-            for k in range(nq):  # one dispatch per query, shared streams
-                acc = acc + sw_pallas_stream(
-                    pp[k], sd, fd, go, ge, **kw
-                )[0, 0]
-            return acc
+            # Perturb EVERY query's profile (not just query 0): each inner
+            # dispatch differs per rep, so XLA cannot hoist any of them.
+            pp = pd.at[:, 0, 0].add((i % 4).astype(jnp.int32))
+
+            def qbody(k, a):
+                return a + sw_pallas_stream(pp[k], sd, fd, go, ge, **kw)[0, 0]
+
+            return jax.lax.fori_loop(0, nq, qbody, acc)
 
         return jax.lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int32))
 
-    np.asarray(chain(1))
-    np.asarray(chain(3))
+    np.asarray(chain(1, 1))  # compile + program load + warm (untimed)
 
-    def run(reps):
+    def run(reps, nq):
         t0 = time.perf_counter()
-        np.asarray(chain(reps))
+        np.asarray(chain(reps, nq))
         return time.perf_counter() - t0
 
-    t1 = min(run(1) for _ in range(2))
-    t3 = min(run(3) for _ in range(2))
+    t1 = min(run(1, 1) for _ in range(2))
+    t3 = min(run(3, 1) for _ in range(2))
     dt = max((t3 - t1) / 2, 1e-9)
-    cells = nq * lq * int(db.offsets[-1])
-    return {
-        "n_queries": nq,
+    cells = lq * int(db.offsets[-1])
+    short = {
         "query_len": lq,
-        "aggregate_gcups": round(cells / dt / 1e9, 1),
-        "query_entries_per_s": round(nq * db.n / dt),
-        "vs_published_entries_per_s": round(
-            nq * db.n / dt / BASELINE_ENTRIES_PER_S, 2
+        "gcups": round(cells / dt / 1e9, 1),
+        "entries_per_s": round(db.n / dt),
+        "vs_baseline_gcups": round(cells / dt / 1e9 / BASELINE_GCUPS, 2),
+        "vs_baseline_published_entries_per_s": round(
+            db.n / dt / BASELINE_ENTRIES_PER_S, 2
         ),
     }
 
+    m1 = min(run(1, 8) for _ in range(2))
+    m3 = min(run(3, 8) for _ in range(2))
+    mdt = max((m3 - m1) / 2, 1e-9)
+    mcells = 8 * cells
+    mq = {
+        "n_queries": 8,
+        "query_len": lq,
+        "aggregate_gcups": round(mcells / mdt / 1e9, 1),
+        "query_entries_per_s": round(8 * db.n / mdt),
+        "vs_published_entries_per_s": round(
+            8 * db.n / mdt / BASELINE_ENTRIES_PER_S, 2
+        ),
+    }
+    return short, mq
 
-def _emit(
-    gcups, dt, n, real_cells, backend, padded_cells, short=None, mq=None
-) -> None:
+
+def _result_line(
+    gcups, dt, n, real_cells, backend, padded_cells,
+    short=None, mq=None, provisional=None, skip_reason=None,
+    program_load_s=None,
+) -> str:
     entries_per_s = n / dt
-    print(
-        json.dumps(
-            {
-                "metric": "swissprot_scale_search_gcups",
-                "value": round(gcups, 1),
-                "unit": "GCUPS",
-                "vs_baseline": round(gcups / BASELINE_GCUPS, 2),
-                "detail": {
-                    "backend": backend,
-                    "entries": n,
-                    "entries_per_s": round(entries_per_s),
-                    "kernel_time_s": round(dt, 4),
-                    "query_len": QUERY_LEN,
-                    "real_cells": real_cells,
-                    "padding_overhead": round(padded_cells / real_cells, 3),
-                    "pct_of_roofline": round(100 * gcups / ROOFLINE_GCUPS, 1),
-                    "roofline_gcups": ROOFLINE_GCUPS,
-                    "roofline_derivation": (
-                        "docs/DESIGN.md 'The S-path wall' constant-S "
-                        "isolation study (same DP loop, v5e)"
-                    ),
-                    "db_caveat": DB_CAVEAT,
-                    "baseline_gcups": BASELINE_GCUPS,
-                    "baseline_derivation": "BASELINE.md 'Derived baseline GCUPS'",
-                    "published_best_entries_per_s_at_inferred_L17": BASELINE_ENTRIES_PER_S,
-                    "short_query_point": short,
-                    "multi_query_point": mq,
-                    "multi_chip_scaling_tool": "tools/scaling_check.py",
-                },
-            }
-        )
+    detail = {
+        "backend": backend,
+        "entries": n,
+        "entries_per_s": round(entries_per_s),
+        "kernel_time_s": round(dt, 4),
+        "query_len": QUERY_LEN,
+        "real_cells": real_cells,
+        "padding_overhead": round(padded_cells / real_cells, 3),
+        "pct_of_roofline": round(100 * gcups / ROOFLINE_GCUPS, 1),
+        "roofline_gcups": ROOFLINE_GCUPS,
+        "roofline_derivation": (
+            "docs/DESIGN.md 'The S-path wall' constant-S "
+            "isolation study (same DP loop, v5e)"
+        ),
+        "db_caveat": DB_CAVEAT,
+        "baseline_gcups": BASELINE_GCUPS,
+        "baseline_derivation": "BASELINE.md 'Derived baseline GCUPS'",
+        "published_best_entries_per_s_at_inferred_L17": BASELINE_ENTRIES_PER_S,
+        "short_query_point": short,
+        "multi_query_point": mq,
+        "multi_chip_scaling_tool": "tools/scaling_check.py",
+    }
+    if provisional:
+        detail["provisional"] = provisional
+    if skip_reason:
+        detail["optional_points_skipped"] = skip_reason
+    if program_load_s is not None:
+        detail["program_load_s_untimed"] = round(program_load_s, 1)
+    return json.dumps(
+        {
+            "metric": "swissprot_scale_search_gcups",
+            "value": round(gcups, 1),
+            "unit": "GCUPS",
+            "vs_baseline": round(gcups / BASELINE_GCUPS, 2),
+            "detail": detail,
+        }
     )
 
 

@@ -61,6 +61,8 @@ USAGE = """usage: {prog} [OPTIONS] [seq1 seq2]
     --topk <n>           print only the n best-scoring entries
     --all-queries        score EVERY query-file record (batched on-device;
                          on by default for multi-record query files)
+    --first-query        strict reference behavior: score only the first
+                         query record (src/alignment_cmdline.c:355-360)
     --align <k>          print gapped alignments + CIGAR for the k best hits
     --checkpoint <dir>   chunk-level resume state for huge scans
     --stream-chunk <n>   bounded-memory mode: process n db records at a time
@@ -141,6 +143,7 @@ def main(argv: list[str] | None = None) -> int:
     align_k = None
     as_json = False
     all_queries = False
+    first_query = False
     matrix_spec = None
     hosts = None
     host_id = None
@@ -166,6 +169,8 @@ def main(argv: list[str] | None = None) -> int:
                 sort = False
             elif al == "--all-queries":
                 all_queries = True
+            elif al == "--first-query":
+                first_query = True
             elif al == "--json":
                 as_json = True
             elif i == n - 1:
@@ -345,12 +350,13 @@ def main(argv: list[str] | None = None) -> int:
             hosts, host_id, coordinator,
         )
 
-    if not all_queries and file1 != "-":
+    if not all_queries and not first_query and file1 != "-":
         # Multi-record query files batch automatically (the reference reads
         # only the first record, src/alignment_cmdline.c:355-360; batching
         # every query through shared kernel dispatches is strictly more
         # useful and the per-query output blocks keep parsers working).
-        # Modes tied to single-query semantics keep first-record behavior.
+        # --first-query opts back into strict reference behavior. Modes
+        # tied to single-query semantics keep first-record behavior.
         single_only = (
             align_k is not None or stream_chunk is not None
             or checkpoint is not None or print_seq or trace_dir is not None
@@ -360,8 +366,11 @@ def main(argv: list[str] | None = None) -> int:
                 from .utils.fasta import read_fasta
 
                 it = read_fasta(file1)
-                next(it)
-                has_second = next(it, None) is not None
+                try:
+                    next(it)
+                    has_second = next(it, None) is not None
+                finally:
+                    it.close()  # release the file handle from the probe
             except (OSError, ValueError, StopIteration):
                 has_second = False
             if has_second:

@@ -631,7 +631,8 @@ class KernelConfig:
     jb: int  # db positions per register chain
     ui: int  # unrolled query rows per loop iteration
     ic: int  # query rows per substitution chunk
-    pipe: int = 0  # S-production pipelining mode (0 off, 1 block, 2 row)
+    pipe: int = 0  # S-production mode 0-7; 5/6 = fused dots, the
+    # production winners — full mode table in _run_block / docs/DESIGN.md
 
 
 @functools.partial(

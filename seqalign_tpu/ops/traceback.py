@@ -68,7 +68,12 @@ def _native_for(table):
     return _load_native()
 
 
+# Module-global growable buffer shared by sequential traceback calls.
+# NOT thread-safe: two concurrent sw_traceback calls would receive
+# overlapping views. All current callers (CLI --align, pipeline top-k
+# re-alignment) run tracebacks sequentially; guard here if that changes.
 _states_cache = np.empty(0, dtype=np.uint8)
+_states_cache_owner: int | None = None  # thread id currently holding a view
 _STATES_CACHE_CAP = 64 << 20  # don't pin more than 64 MB across calls
 
 
@@ -428,13 +433,29 @@ def _localized_traceback(
        bounded by the query extent — or a gap char costing >= |ge|, bounded
        by score/|ge| <= extent * max(table)/|ge|) -> START cell.
     3. Full traceback fill on the [start..end] rectangle only; its local
-       optimum must equal the global best (asserted).
+       optimum must equal the global best (checked; on mismatch the pair
+       falls back to the direct full-matrix fill when it fits MAX_CELLS).
     """
     go = int(gap_open) + int(gap_extend)
     ge = int(gap_extend)
     q = np.asarray(query_idx)
     d = np.asarray(db_idx)
     lq, lb = len(q), len(d)
+
+    def _inconsistent(what: str) -> Alignment:
+        # Localization produced contradictory scores (e.g. a stale
+        # caller-supplied end cell). Recover with the always-correct direct
+        # fill when it fits; otherwise fail loudly — a bare assert would be
+        # stripped under python -O and return a silently wrong alignment.
+        if (lq + 1) * (lb + 1) <= MAX_CELLS:
+            return _direct_traceback(
+                q, d, table, gap_open, gap_extend,
+                query_str=query_str, db_str=db_str,
+            )
+        raise RuntimeError(
+            f"localized traceback self-check failed ({what}) and the "
+            f"{lq+1}x{lb+1} pair exceeds MAX_CELLS for the direct fallback"
+        )
 
     if end is not None:
         ej, ei = int(end[0]), int(end[1])
@@ -465,7 +486,8 @@ def _localized_traceback(
         r_best, (ri, rj) = _score_ends(dr, qr, tt, go, ge)
     if best is None:  # caller-supplied end: the reverse pass sets the score
         best = r_best
-    assert r_best == best, (r_best, best)
+    if r_best != best:
+        return _inconsistent(f"reverse-pass score {r_best} != forward {best}")
     i0, j0 = ei - ri, ej - rj
 
     rq, rd = q[i0:ei], d[j0:ej]
@@ -489,7 +511,8 @@ def _localized_traceback(
             db_str[j0:ej] if db_str is not None else None,
             go, ge, table,
         )
-    assert sub.score == best, (sub.score, best)
+    if sub.score != best:
+        return _inconsistent(f"rectangle score {sub.score} != best {best}")
     return Alignment(
         score=sub.score,
         query_start=i0 + sub.query_start,

@@ -457,8 +457,13 @@ def _stream_search(
                         run = lambda pd: sw_pallas_stream(
                             pd, streams_dev, fs_dev, go, ge, **kw
                         )
-            except (TypeError, AttributeError, NameError, IndexError):
-                raise  # genuine programming error, not a compile failure
+            except (AttributeError, NameError, IndexError):
+                # Genuine programming error, not a compile failure. NOTE:
+                # TypeError deliberately NOT re-raised — jax/XLA lowering
+                # and shape-validation failures frequently surface as
+                # TypeError, and those must flow to the nw-retry / XLA
+                # fallback ladder below (ADVICE round 2).
+                raise
             except Exception as ex:
                 # Mosaic/XLA compile failures for off-grid tile shapes
                 # (docs/DESIGN.md "Known Mosaic constraints"). Surface each

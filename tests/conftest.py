@@ -25,6 +25,15 @@ import pytest
 from seqalign_tpu.models import ScoringModel, load_builtin
 
 
+def pytest_collection_modifyitems(items):
+    """Every test not marked ``slow`` is the fast tier: ``pytest -m fast``
+    is the per-commit set (<60 s), the full suite (incl. the differential
+    matrix and 2-process multihost tests) is the nightly set."""
+    for item in items:
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture(scope="session")
 def blosum62():
     return load_builtin(

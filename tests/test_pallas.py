@@ -63,6 +63,7 @@ class TestChooseConfig:
 
 
 class TestSupportedScoring:
+    @pytest.mark.slow
     def test_f32_exactness_bound(self):
         """Queries whose max attainable score reaches 2**24 must be routed
         to the int32 XLA engine: the striped kernel has no length cap, and
@@ -112,6 +113,7 @@ class TestPallasInterpret:
         )
         np.testing.assert_array_equal(got[:40], want[:40])
 
+    @pytest.mark.slow
     def test_pipe_modes_match_wavefront(self, rng, blosum62):
         """S-production pipelining (pipe=1/2) is bit-identical to pipe=0."""
         sc = blosum62
@@ -136,6 +138,7 @@ class TestPallasInterpret:
             )
             np.testing.assert_array_equal(got[:50], want[:50])
 
+    @pytest.mark.slow
     def test_pipe_multiquery(self, rng, blosum62):
         """pipe mode with batched queries: static chain cuts stay exact."""
         sc = blosum62
@@ -196,6 +199,7 @@ class TestPallasInterpret:
             )
             np.testing.assert_array_equal(got[k, :60], want[:60])
 
+    @pytest.mark.slow
     def test_stream_multiquery(self, rng, blosum62):
         """Segmented stream + multi-query: both axes of batching at once."""
         from seqalign_tpu.pipeline import _db_from_encoded
@@ -245,6 +249,7 @@ class TestPallasInterpret:
             )
             np.testing.assert_array_equal(scores, want)
 
+    @pytest.mark.slow
     def test_striped_long_query(self, rng, blosum62):
         """Row-striped stream kernel: 4 stripes, boundary chain through HBM."""
         from seqalign_tpu.ops.swa_pallas import sw_pallas_stream_striped

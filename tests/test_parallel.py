@@ -81,6 +81,7 @@ class TestGraftEntry:
         out = jax.jit(fn)(*args)
         assert np.asarray(out).shape[0] == args[1].shape[1]
 
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import sys
 
@@ -104,6 +105,7 @@ class TestMultiDevice:
         totals = [int(lengths[c].sum()) for c in chunks]
         assert max(totals) / min(totals) < 1.05
 
+    @pytest.mark.slow
     def test_multi_device_search_interpret(self, rng, blosum62, monkeypatch):
         import functools
 

@@ -358,6 +358,7 @@ class TestStreamSearch:
         want, _ = search_encoded(q, encoded, sc, engine="wavefront")
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.slow
     def test_multi_query_stream(self, rng, blosum62, monkeypatch):
         import functools
 
@@ -396,6 +397,7 @@ class TestStreamSearch:
             want, _ = search_encoded(q, encoded, sc, engine="wavefront")
             np.testing.assert_array_equal(got[k], want)
 
+    @pytest.mark.slow
     def test_query_blocking(self, rng, blosum62, monkeypatch):
         """More queries than fit one dispatch run in blocks over the same
         packed streams (the 64-query north-star config, scaled down)."""
@@ -500,6 +502,7 @@ class TestStreamSearch:
         want, _ = search_encoded(q, encoded, sc, engine="wavefront")
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.slow
     def test_f32_guard_routes_pathological_long_query(
         self, blosum62, monkeypatch
     ):
@@ -591,6 +594,7 @@ class TestStreamSearch:
             )
 
 
+@pytest.mark.slow
 def test_benchmark_harness_smoke(tmp_path):
     """benchmarks/benchmark.py parses the CLI and reports mean+-std."""
     import os

@@ -80,6 +80,12 @@ def main() -> int:
     )
     args = parser.parse_args()
 
+    # Persistent compile cache: hardware sweeps re-pay 20-120 s kernel
+    # compiles per shape per process without it (VERDICT round 2 item 7).
+    from seqalign_tpu.pipeline import _enable_compile_cache
+
+    _enable_compile_cache()
+
     import jax
 
     if jax.default_backend() != "tpu":
