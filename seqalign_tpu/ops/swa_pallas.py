@@ -124,6 +124,7 @@ def _run_block(
     lqe: int | None = None,
     bnd=None,
     pipe: int = 0,
+    pack: int = 1,
 ):
     """Advance the DP over one j-block (JB db positions x all query rows).
 
@@ -160,6 +161,25 @@ def _run_block(
     dot, +10-15%% at lq~96-190). choose_config encodes the hardware-
     validated per-band rankings; modes 1-4 remain as the documented
     negative results' repro (tools/exp_spipe.py).
+
+    Packed production (``pack`` in {2, 4}, pipe=6 only — the round-3
+    attack on the result-stream wall): ``pack`` query rows' biased scores
+    are packed into ONE f32 dot output via power-of-2 field scaling. The
+    packed profile holds ``pack`` copies of the alphabet along K (so
+    K = pack*32, still <= the MXU's native 128) with row 4k's scores
+    scaled by 2^18, row 4k+1's by 2^12 (biased +32), etc.; the duplicated
+    one-hot selects the same db char in every copy, so each output is
+    exactly ``sum_s scale_s * (P'[pack*k+s, c] + bias_s)`` — exact in f32
+    because every field is an integer < 2^6 (pack=4, requires max|P'| <=
+    31) or < 2^9 (pack=2, scale 512/bias 128, requires max|P'| <= 128)
+    and the packed total stays under 2^24. The DP unpacks fields
+    sequentially (one floor + mul + sub per row) as the row loop
+    advances, carrying the remainder in a register per (w, t) chain.
+    Result volume, s_buf stores/loads, and s_buf VMEM all shrink by
+    ``pack``; the MXU pass count is unchanged (K grows toward its native
+    128). Gate: the CALLER must guarantee the |P'| bound (see
+    choose_config(max_abs_bias=...)); exactness is oracle-pinned in
+    tests.
     """
     if lqe is None:
         lqe = lqp
@@ -212,9 +232,13 @@ def _run_block(
         # pipe=7 additionally keeps the dot OUTPUT in bf16 (exact: every
         # product is a 0/1 weight times a small integer), halving the MXU
         # result-vreg stream and the S stores/loads.
+        # pack>1: the one-hot repeats along K (iota mod ALPHA) so each of
+        # the pack per-row alphabet copies selects the same db char.
         c_iota6 = jax.lax.broadcasted_iota(
-            jnp.int32, (ALPHA, nw * jb * sl, LANES), 0
+            jnp.int32, (pack * ALPHA, nw * jb * sl, LANES), 0
         )
+        if pack > 1:
+            c_iota6 = jnp.bitwise_and(c_iota6, ALPHA - 1)
         onehot_all = (
             c_iota6 == d.reshape(nw * jb * sl, LANES)[None]
         ).astype(jnp.bfloat16)
@@ -256,7 +280,8 @@ def _run_block(
 
     def produce(c, sbase):
         if pipe in (6, 7):
-            p_chunk = prof_ref[pl.ds(c * ic, ic), :]
+            icp = ic // pack  # packed rows per chunk (pack=1: just ic)
+            p_chunk = prof_ref[pl.ds(c * icp, icp), :]
             s_buf[sbase] = jax.lax.dot_general(
                 p_chunk,
                 onehot_all,
@@ -270,6 +295,33 @@ def _run_block(
             else:
                 for t in range(jb):
                     produce_one(c, w, t, sbase)
+
+    # Packed-production remainder carries: one register chain per (w, t),
+    # holding the not-yet-unpacked low fields of the current row group.
+    # Only mutated in straight-line (static) emission: pipe=6 is always a
+    # pipe mode, so rows are emitted as Python iterations in order.
+    scarry = [[None] * jb for _ in range(nw)]
+    if pack > 1:
+        if pipe not in (6, 7):
+            raise ValueError("pack > 1 requires the fused-dot mode (pipe=6)")
+        if ic % pack:
+            raise ValueError(f"pack={pack} requires ic % pack == 0 ({ic=})")
+    _pk_scale = {2: (512.0,), 4: (262144.0, 4096.0, 64.0)}.get(pack, ())
+    _pk_bias = 128.0 if pack == 2 else 32.0
+
+    def unpack_s(w, t, x, phase):
+        """Field ``phase`` of the packed S value; x is the packed load at
+        phase 0 (None afterwards — the remainder carries in scarry)."""
+        if phase == 0:
+            hi = jnp.floor(x * (1.0 / _pk_scale[0]))
+            scarry[w][t] = x - hi * _pk_scale[0]
+            return hi
+        rem = scarry[w][t]
+        if phase == pack - 1:
+            return rem - _pk_bias
+        f = jnp.floor(rem * (1.0 / _pk_scale[phase]))
+        scarry[w][t] = rem - f * _pk_scale[phase]
+        return f - _pk_bias
 
     def emit_group(c, g, sbase, hook=None, svals=None):
         """DP over rows [c*ic + g*ui, +ui). ``g`` may be a Python int
@@ -309,14 +361,35 @@ def _run_block(
                 if svals is not None:
                     s = [svals[w][t][i - c * ic] for w in range(nw)]
                 elif pipe in (6, 7):
-                    s = [
-                        s_buf[
-                            sbase,
-                            i - c * ic,
-                            (w * jb + t) * sl : (w * jb + t + 1) * sl,
-                        ].astype(jnp.float32)
-                        for w in range(nw)
-                    ]
+                    if pack == 1:
+                        s = [
+                            s_buf[
+                                sbase,
+                                i - c * ic,
+                                (w * jb + t) * sl : (w * jb + t + 1) * sl,
+                            ].astype(jnp.float32)
+                            for w in range(nw)
+                        ]
+                    else:
+                        # Packed: load one vreg row per pack rows, unpack
+                        # fields as the (static) row index advances.
+                        phase = i % pack
+                        s = [
+                            unpack_s(
+                                w,
+                                t,
+                                s_buf[
+                                    sbase,
+                                    (i - c * ic) // pack,
+                                    (w * jb + t) * sl
+                                    : (w * jb + t + 1) * sl,
+                                ]
+                                if phase == 0
+                                else None,
+                                phase,
+                            )
+                            for w in range(nw)
+                        ]
                 elif pipe == 5:
                     s = [
                         s_buf[sbase + w, i - c * ic, t * sl : (t + 1) * sl]
@@ -633,12 +706,39 @@ class KernelConfig:
     ic: int  # query rows per substitution chunk
     pipe: int = 0  # S-production mode 0-7; 5/6 = fused dots, the
     # production winners — full mode table in _run_block / docs/DESIGN.md
+    pack: int = 1  # query rows packed per dot output (1, 2, 4; pipe=6
+    # only) — see _run_block's packed-production docstring for the
+    # |P'| bounds each pack level requires
+
+
+def _pack_profile(prof32: jax.Array, pack: int) -> jax.Array:
+    """Pack ``pack`` consecutive biased profile rows into one row of
+    ``pack`` scaled alphabet copies (K = pack*32), bf16.
+
+    Every field is exact in bf16 (integer magnitude <= 256 after bias, and
+    the scales are powers of two), and the dot's per-output sum of the
+    selected fields is exact in f32 (< 2^24). See _run_block's packed-
+    production docstring for the bounds the caller must guarantee.
+    """
+    rows = prof32.shape[0]
+    pr = prof32.reshape(rows // pack, pack, ALPHA)
+    if pack == 2:
+        fields = [pr[:, 0] * 512.0, pr[:, 1] + 128.0]
+    else:
+        fields = [
+            pr[:, 0] * 262144.0,
+            (pr[:, 1] + 32.0) * 4096.0,
+            (pr[:, 2] + 32.0) * 64.0,
+            pr[:, 3] + 32.0,
+        ]
+    return jnp.concatenate(fields, axis=1).astype(jnp.bfloat16)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "go", "ge", "sl", "nw", "jb", "ic", "ui", "pipe", "interpret",
+        "go", "ge", "sl", "nw", "jb", "ic", "ui", "pipe", "pack",
+        "interpret",
     ),
 )
 def sw_pallas_windows(
@@ -653,6 +753,7 @@ def sw_pallas_windows(
     ic: int | None = None,
     ui: int = DEFAULT_UI,
     pipe: int = 0,
+    pack: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Score one or more queries against NW stacked lane-batch windows.
@@ -687,36 +788,44 @@ def sw_pallas_windows(
         )
     if lb % jb != 0:
         raise ValueError(f"db length {lb} not a multiple of jb={jb}")
-    lqe = -(-lq // ui) * ui
+    # Rows pad to ui; with packed production also to pack, so every packed
+    # group sits inside one query and every chunk base is pack-aligned.
+    lat = ui * pack // np.gcd(ui, pack)
+    lqe = -(-lq // lat) * lat
     lqp = nq * lqe
     if ic is None:
         ic = lqp
-    ic = min(-(-ic // ui) * ui, lqp)
+    ic = min(-(-ic // lat) * lat, lqp)
     nc = -(-lqp // ic)
     nj = lb // jb
 
     # Biased profile P' = P - go, exact in bf16 (|P'| <= 256 asserted by the
     # dispatcher; see supported_scoring). Each query pads to lqe rows of
     # zeros, then the whole stack pads to the chunk lattice.
-    prof = (profile.astype(jnp.float32) - go).astype(jnp.bfloat16)
+    prof = profile.astype(jnp.float32) - go
     if multi:
         prof = jnp.pad(prof, ((0, 0), (0, lqe - lq), (0, 0)))
         prof = prof.reshape(nq * lqe, ALPHA)
     else:
         prof = jnp.pad(prof, ((0, lqe - lq), (0, 0)))
     prof = jnp.pad(prof, ((0, nc * ic - lqp), (0, 0)))
+    prof = (
+        _pack_profile(prof, pack) if pack > 1 else prof.astype(jnp.bfloat16)
+    )
     dbb = db_windows.astype(jnp.int32).reshape(nw, nj, jb, sl, LANES)
 
     kernel = functools.partial(
         _kernel, lqp=lqp, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui, nc=nc,
-        go=int(go), ge=int(ge), nq=nq, lqe=lqe, pipe=pipe,
+        go=int(go), ge=int(ge), nq=nq, lqe=lqe, pipe=pipe, pack=pack,
     )
     out = pl.pallas_call(
         kernel,
         grid=(nj,),
         in_specs=[
             pl.BlockSpec(
-                (nc * ic, ALPHA), lambda j: (0, 0), memory_space=pltpu.VMEM
+                (nc * ic // pack, pack * ALPHA),
+                lambda j: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (nw, 1, jb, sl, LANES),
@@ -734,7 +843,7 @@ def sw_pallas_windows(
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM(
-                (2, ic, nw * jb * sl, LANES)
+                (2, ic // pack, nw * jb * sl, LANES)
                 if pipe in (6, 7)
                 else (2 * nw, ic, jb * sl, LANES)
                 if pipe == 5
@@ -762,7 +871,7 @@ def sw_pallas_windows(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "go", "ge", "nslots", "sl", "nw", "jb", "ic", "ui", "pipe",
+        "go", "ge", "nslots", "sl", "nw", "jb", "ic", "ui", "pipe", "pack",
         "interpret",
     ),
 )
@@ -780,6 +889,7 @@ def sw_pallas_stream(
     ic: int | None = None,
     ui: int = DEFAULT_UI,
     pipe: int = 0,
+    pack: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Score one or more queries against a segmented database in one dispatch.
@@ -814,25 +924,29 @@ def sw_pallas_stream(
     nj = lb // jb
     if fs.shape != (nj, nw, 2):
         raise ValueError(f"fs shape {fs.shape} != {(nj, nw, 2)}")
-    lqe = -(-lq // ui) * ui
+    lat = ui * pack // np.gcd(ui, pack)
+    lqe = -(-lq // lat) * lat
     lqp = nq * lqe
     if ic is None:
         ic = lqp
-    ic = min(-(-ic // ui) * ui, lqp)
+    ic = min(-(-ic // lat) * lat, lqp)
     nc = -(-lqp // ic)
 
-    prof = (profile.astype(jnp.float32) - go).astype(jnp.bfloat16)
+    prof = profile.astype(jnp.float32) - go
     if multi:
         prof = jnp.pad(prof, ((0, 0), (0, lqe - lq), (0, 0)))
         prof = prof.reshape(nq * lqe, ALPHA)
     else:
         prof = jnp.pad(prof, ((0, lqe - lq), (0, 0)))
     prof = jnp.pad(prof, ((0, nc * ic - lqp), (0, 0)))
+    prof = (
+        _pack_profile(prof, pack) if pack > 1 else prof.astype(jnp.bfloat16)
+    )
     dbb = streams.astype(jnp.int32).reshape(nw, nj, jb, sl, LANES)
 
     kernel = functools.partial(
         _kernel_stream, lqp=lqp, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui, nc=nc,
-        go=int(go), ge=int(ge), nq=nq, lqe=lqe, pipe=pipe,
+        go=int(go), ge=int(ge), nq=nq, lqe=lqe, pipe=pipe, pack=pack,
     )
     out = pl.pallas_call(
         kernel,
@@ -842,7 +956,9 @@ def sw_pallas_stream(
                 (1, nw, 2), lambda j: (j, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (nc * ic, ALPHA), lambda j: (0, 0), memory_space=pltpu.VMEM
+                (nc * ic // pack, pack * ALPHA),
+                lambda j: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (nw, 1, jb, sl, LANES),
@@ -856,7 +972,7 @@ def sw_pallas_stream(
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM(
-                (2, ic, nw * jb * sl, LANES)
+                (2, ic // pack, nw * jb * sl, LANES)
                 if pipe in (6, 7)
                 else (2 * nw, ic, jb * sl, LANES)
                 if pipe == 5
