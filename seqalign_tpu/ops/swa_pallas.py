@@ -82,6 +82,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -790,7 +791,7 @@ def sw_pallas_windows(
         raise ValueError(f"db length {lb} not a multiple of jb={jb}")
     # Rows pad to ui; with packed production also to pack, so every packed
     # group sits inside one query and every chunk base is pack-aligned.
-    lat = ui * pack // np.gcd(ui, pack)
+    lat = ui * pack // math.gcd(ui, pack)
     lqe = -(-lq // lat) * lat
     lqp = nq * lqe
     if ic is None:
@@ -924,7 +925,7 @@ def sw_pallas_stream(
     nj = lb // jb
     if fs.shape != (nj, nw, 2):
         raise ValueError(f"fs shape {fs.shape} != {(nj, nw, 2)}")
-    lat = ui * pack // np.gcd(ui, pack)
+    lat = ui * pack // math.gcd(ui, pack)
     lqe = -(-lq // lat) * lat
     lqp = nq * lqe
     if ic is None:
