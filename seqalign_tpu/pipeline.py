@@ -260,6 +260,39 @@ def _pick_query_block(lq: int, nq: int) -> int | None:
     return 1 if choose_config(lq, reserve=1 << 20) is not None else None
 
 
+def _compile_scan_blocks(
+    stream_fn, prof_blocks, streams_dev, fs_dev, go, ge, kw
+):
+    """AOT-compile one program scanning the stream kernel over every query
+    block: a multi-query batch becomes ONE device dispatch (device-side
+    sequential over blocks), instead of one tunnel round trip per block.
+    Cached in _EXEC_CACHE and warmed untimed like the per-block path."""
+    import jax
+
+    profs_all = np.stack(prof_blocks)  # (NB, nq_b, lq, 32)
+    key = (
+        "scanq", profs_all.shape, str(profs_all.dtype),
+        tuple(streams_dev.shape), str(streams_dev.dtype),
+        tuple(fs_dev.shape), int(go), int(ge), tuple(sorted(kw.items())),
+    )
+    pd_all = jax.device_put(profs_all)
+    jax.block_until_ready(pd_all)
+    compiled = _EXEC_CACHE.get(key)
+    if compiled is None:
+
+        def _all(pall, s, f):
+            def body(carry, p):
+                return carry, stream_fn(p, s, f, go, ge, **kw)
+
+            return jax.lax.scan(body, None, pall)[1]
+
+        compiled = jax.jit(_all).lower(pd_all, streams_dev, fs_dev).compile()
+        # Warm the freshly loaded program untimed (see _EXEC_CACHE note).
+        np.asarray(compiled(pd_all, streams_dev, fs_dev))
+        _EXEC_CACHE[key] = compiled
+    return lambda: compiled(pd_all, streams_dev, fs_dev)
+
+
 # Output slots per stream dispatch. The output lives in HBM (DMA-flushed),
 # so this only bounds host-side chunk memory; shapes round up for reuse.
 MAX_STREAM_SLOTS = 4096
@@ -392,6 +425,7 @@ def _stream_search(
         else:
             prof_blocks = [np.asarray(profile)]
         run = None
+        run_all = None  # one-dispatch scan over all query blocks
         retry_cap = nw_cap
         while run is None:
             cfg = choose_config(
@@ -428,7 +462,29 @@ def _stream_search(
                     # (src/alignment_cmdline.c:503-509). Cached per shape,
                     # shared by every query block (identical shapes).
                     lower = getattr(sw_pallas_stream, "lower", None)
-                    if lower is not None:
+                    if lower is not None and multi and len(prof_blocks) > 1:
+                        # ALL query blocks in ONE device program: a scan
+                        # over the stacked block profiles dispatches once,
+                        # so the per-block tunnel RTT (~28 ms x 64 blocks)
+                        # and any device-side inter-dispatch gap vanish
+                        # from the batch (VERDICT round 2 item 3).
+                        try:
+                            run_all = _compile_scan_blocks(
+                                sw_pallas_stream, prof_blocks, streams_dev,
+                                fs_dev, go, ge, kw,
+                            )
+                        except Exception as sex:
+                            import sys
+
+                            print(
+                                "Warning: scan-of-blocks program failed "
+                                f"({type(sex).__name__}: {str(sex)[:120]}); "
+                                "dispatching blocks individually.",
+                                file=sys.stderr,
+                            )
+                    if run_all is not None:
+                        run = run_all  # one-dispatch path; loop exit
+                    elif lower is not None:
                         key = (
                             prof_devs[0].shape, str(prof_devs[0].dtype),
                             streams_dev.shape, str(streams_dev.dtype),
@@ -483,8 +539,11 @@ def _stream_search(
                 run = None
 
         t0 = time.perf_counter()
-        outs = [run(pd) for pd in prof_devs]  # enqueue all blocks first
-        outs = [np.asarray(o) for o in outs]
+        if run_all is not None:
+            outs = list(np.asarray(run_all()))  # ONE dispatch, all blocks
+        else:
+            outs = [run(pd) for pd in prof_devs]  # enqueue all blocks first
+            outs = [np.asarray(o) for o in outs]
         kernel_time += time.perf_counter() - t0
 
         chunk_scores = (
