@@ -7,10 +7,13 @@ query rows per dot output (exact f32 field packing, see
 ops/swa_pallas.py::_run_block) — and taller chunks (``ic``) reduce dot
 count (the round-2 closing lead: dot HEIGHT is what matters).
 
-Usage (TPU host):  python tools/exp_pack.py [--lq 17 144 ...] [--lb 4096]
+Cost discipline: ONE jitted program per config (dynamic rep count; the
+program also returns the final scores, so exactness vs the CPU wavefront
+engine needs no second program). Program loads through the axon tunnel
+cost minutes each (pipeline.py _EXEC_CACHE notes) — this is what made the
+first sweep attempt 4x too slow.
 
-Prints per config: exactness vs the wavefront engine + best-of-3 GCUPS via
-the two-point chained-repetition method (tools/tpu_check.py discipline).
+Usage (TPU host):  python tools/exp_pack.py [--lq 17 144 ...] [--lb 2048]
 """
 
 import argparse
@@ -25,8 +28,15 @@ import numpy as np
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--lq", type=int, nargs="*")
-    parser.add_argument("--lb", type=int, default=4096)
-    parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--lb", type=int, default=2048)
+    parser.add_argument("--skip-verify", action="store_true")
+    parser.add_argument("--best-of", type=int, default=3)
+    parser.add_argument(
+        "--mq", type=int, default=0,
+        help="row-stacked multi-query: stack N queries per dispatch "
+        "(packed fused production amortizes one-hot + dot overheads "
+        "across the stack — the short-query lever)",
+    )
     args = parser.parse_args()
 
     from seqalign_tpu.pipeline import _enable_compile_cache
@@ -34,12 +44,11 @@ def main() -> int:
     _enable_compile_cache()
 
     import jax
+    import jax.numpy as jnp
 
     if jax.default_backend() != "tpu":
         print("SKIP: no TPU backend")
         return 0
-
-    from tpu_check import timed_gcups
 
     from seqalign_tpu.ops.swa_pallas import (
         KernelConfig,
@@ -50,77 +59,102 @@ def main() -> int:
 
     rng = np.random.default_rng(11)
     lb = args.lb
+    cpu = jax.devices("cpu")[0]
 
-    def run(lq, cfg):
-        # |P'| <= 12 + 4 <= 16 here: safe for pack=4's 31-bound.
-        prof = rng.integers(-8, 12, (lq, 32)).astype(np.int32)
+    def run(lq, cfg, nq=1):
+        # |P'| <= 12 + 3 + perturb 3 <= 18: safe for pack=4's 31-bound.
+        if nq > 1:
+            prof = rng.integers(-8, 12, (nq, lq, 32)).astype(np.int32)
+        else:
+            prof = rng.integers(-8, 12, (lq, 32)).astype(np.int32)
         kw = dict(nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic, pipe=cfg.pipe,
                   pack=cfg.pack)
-        db = rng.integers(1, 27, (cfg.nw, 128, 1024)).astype(np.int32)
-        try:
-            a = np.asarray(sw_pallas_windows(prof, db, -3, -1, **kw))
-        except Exception as ex:
-            print(f"lq={lq:4d} {cfg}: COMPILE FAIL {str(ex)[:90]}")
-            return
-        want = np.concatenate(
-            [np.asarray(sw_wavefront(prof, db[w], -3, -1))
-             for w in range(cfg.nw)]
-        )
-        ok = bool((a == want).all())
-        dj = jax.device_put(
-            rng.integers(1, 27, (cfg.nw, lb, 1024)).astype(np.int32)
-        )
+        dbh = rng.integers(1, 27, (cfg.nw, lb, 1024)).astype(np.int32)
+        dj = jax.device_put(dbh)
         pj = jax.device_put(prof)
         jax.block_until_ready([dj, pj])
 
-        def fn(i):
-            import jax.numpy as jnp
+        out_shape = (
+            (nq, cfg.nw * 8 * 128) if nq > 1 else (cfg.nw * 8 * 128,)
+        )
 
-            p = pj.at[0, 0].add((i % 4).astype(jnp.int32))
-            return sw_pallas_windows(p, dj, -3, -1, **kw)
+        @jax.jit
+        def chain(reps):
+            def body(i, carry):
+                acc, _ = carry
+                bump = (i % 4).astype(jnp.int32)
+                p = (
+                    pj.at[:, 0, 0].add(bump) if nq > 1
+                    else pj.at[0, 0].add(bump)
+                )
+                out = sw_pallas_windows(p, dj, -3, -1, **kw)
+                return acc + out.reshape(-1)[0], out
 
+            out0 = jnp.zeros(out_shape, jnp.int32)
+            return jax.lax.fori_loop(
+                0, reps, body, (jnp.zeros((), jnp.int32), out0)
+            )
+
+        t0 = time.time()
         try:
-            g = timed_gcups(fn, lq * lb * cfg.nw * 1024)
+            _, out1 = chain(1)
+            out1 = np.asarray(out1)  # compile + program load + warm
         except Exception as ex:
-            print(f"lq={lq:4d} {cfg}: TIMING FAIL {str(ex)[:90]}")
+            print(f"lq={lq:4d} {cfg}: COMPILE FAIL {str(ex)[:90]}",
+                  flush=True)
             return
-        print(f"lq={lq:4d} {cfg}: exact={ok}  {g:6.1f} GCUPS", flush=True)
+        load_s = time.time() - t0
+
+        ok = "skipped"
+        if not args.skip_verify:
+            # chain(1) perturbed prof[0,0] by 0 % 4 == 0 -> plain profile.
+            with jax.default_device(cpu):
+                want = np.concatenate([
+                    np.asarray(sw_wavefront(prof, dbh[w], -3, -1))
+                    for w in range(cfg.nw)
+                ])
+            ok = bool((out1 == want).all())
+
+        def one(reps):
+            t0 = time.perf_counter()
+            acc, _ = chain(reps)
+            np.asarray(acc)
+            return time.perf_counter() - t0
+
+        t1 = min(one(1) for _ in range(args.best_of))
+        t5 = min(one(5) for _ in range(args.best_of))
+        dt = max((t5 - t1) / 4, 1e-9)
+        g = lq * lb * cfg.nw * 1024 / dt / 1e9
+        print(
+            f"lq={lq:4d} {cfg}: exact={ok}  {g:6.1f} GCUPS"
+            f"  (load {load_s:.0f}s)",
+            flush=True,
+        )
         return g
 
     for lq in args.lq or (17, 64, 144, 256, 512):
         base = choose_config(lq)
         print(f"--- lq={lq} (production: {base}) ---", flush=True)
         run(lq, base)
-        lqp = -(-lq // 16) * 16
         cands = []
         if lq <= 48:
-            # short band: full-query fused dot, packed
+            # short band: full-query fused dot, packed (lqe rounds to
+            # lcm(ui, pack) inside the wrapper; ic=whole padded query)
             lqe2 = -(-lq // 2) * 2
             lqe4 = -(-lq // 4) * 4
             cands += [
                 KernelConfig(nw=5, jb=8, ui=2, ic=lqe2, pipe=6, pack=2),
                 KernelConfig(nw=5, jb=8, ui=2, ic=lqe4, pipe=6, pack=4),
-                KernelConfig(nw=8, jb=8, ui=2, ic=lqe4, pipe=6, pack=4),
-                KernelConfig(nw=8, jb=4, ui=4, ic=lqe4, pipe=6, pack=4),
             ]
         else:
-            # mid/long: (2,4,16) fused champion + pack x dot-height grid
-            for pack in (2, 4):
-                for icm in (16, 32, 64, lqp):
-                    ic = min(icm, lqp)
-                    if ic % pack or ic % 16:
-                        continue
-                    cands.append(
-                        KernelConfig(nw=2, jb=4, ui=16, ic=ic, pipe=6,
-                                     pack=pack)
-                    )
-                cands.append(
-                    KernelConfig(nw=4, jb=4, ui=16, ic=min(32, lqp), pipe=6,
-                                 pack=pack)
-                )
-            # taller unpacked chunks alone (dot-height without packing)
-            cands.append(KernelConfig(nw=2, jb=4, ui=16, ic=min(64, lqp),
-                                      pipe=6, pack=1))
+            # lq=144 sweep: packing pays ONLY at full dot height
+            # (ic=lqp); taller unpacked dots lose; nw=4 loses. Focused
+            # grid for the remaining bands.
+            lqp4 = -(-lq // 16) * 16
+            cands += [
+                KernelConfig(nw=2, jb=4, ui=16, ic=lqp4, pipe=6, pack=4),
+                KernelConfig(nw=2, jb=4, ui=16, ic=lqp4, pipe=6, pack=2),
+            ]
         seen = set()
         for cfg in cands:
             key = (cfg.nw, cfg.jb, cfg.ui, cfg.ic, cfg.pipe, cfg.pack)

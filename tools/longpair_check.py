@@ -1,0 +1,116 @@
+"""Hardware measurement: long-query scoring via the row-striped kernel.
+
+VERDICT round-2 item 6: demonstrate "unbounded query length at full
+speed" with a measured number. The reference can only grow its row
+buffers with the query (``src/alignment.c:227-230``) and its upstream
+one-vs-one oracle allocates the FULL DP matrix for traceback — a
+100k x 35k pair needs tens of GB there. Here the striped kernel runs
+ceil(Lq/512) full-interleave passes whose (Gg, F) stripe boundaries
+stream through HBM, so VMEM stays constant in Lq.
+
+Timing: whole-scan wall time on warmed programs (the per-pass dispatches
+enqueue asynchronously; one fetch at the end), sized so device time
+dominates the ~28 ms tunnel RTT. Program loads are warmed untimed
+(pipeline _EXEC_CACHE discipline).
+
+Usage (TPU host): python tools/longpair_check.py [--lq 35000 100000] [--lb 256]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--lq", type=int, nargs="*", default=[35_000, 100_000])
+    parser.add_argument("--lb", type=int, default=256)
+    parser.add_argument("--nw", type=int, default=2)
+    parser.add_argument("--verify-rows", type=int, default=1200,
+                        help="also verify a >1-stripe query vs wavefront")
+    args = parser.parse_args()
+
+    from seqalign_tpu.pipeline import _enable_compile_cache
+
+    _enable_compile_cache()
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        print("SKIP: no TPU backend")
+        return 0
+
+    from seqalign_tpu.ops.swa_pallas import (
+        choose_config,
+        sw_pallas_stream_striped,
+    )
+    from seqalign_tpu.ops.swa_xla import sw_wavefront
+
+    rng = np.random.default_rng(31)
+    lb, nw = args.lb, args.nw
+    cpu = jax.devices("cpu")[0]
+    cfg = choose_config(512, nw_max=nw)  # stripes are 512-row queries
+    kw = dict(nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ui)
+
+    def streams_for(n_positions):
+        streams = rng.integers(1, 27, (nw, n_positions, 1024)).astype(np.int32)
+        # one segment per window, flushed at the end
+        fs = np.zeros((n_positions // cfg.jb, nw, 2), dtype=np.int32)
+        for w in range(nw):
+            fs[-1, w, 1] = 1 + w
+        return streams, fs
+
+    if args.verify_rows:
+        # exactness across >1 stripe boundary on hardware
+        vq = args.verify_rows
+        prof = rng.integers(-8, 12, (vq, 32)).astype(np.int32)
+        streams, fs = streams_for(64)
+        out = np.asarray(
+            sw_pallas_stream_striped(
+                prof, streams, fs, -3, -1, nslots=nw, **kw
+            )
+        )
+        with jax.default_device(cpu):
+            want = np.stack([
+                np.asarray(sw_wavefront(prof, streams[w], -3, -1))
+                for w in range(nw)
+            ])
+        print(f"striped verify lq={vq}: exact={bool((out == want).all())}",
+              flush=True)
+
+    for lq in args.lq:
+        prof = rng.integers(-8, 12, (lq, 32)).astype(np.int32)
+        streams, fs = streams_for(lb)
+        pj = jax.device_put(prof)
+        sj = jax.device_put(streams)
+        jax.block_until_ready([pj, sj])
+
+        def scan():
+            return np.asarray(
+                sw_pallas_stream_striped(
+                    pj, sj, fs, -3, -1, nslots=nw, **kw
+                )
+            )
+
+        t0 = time.time()
+        scan()  # compile + program loads + warm (untimed)
+        warm_s = time.time() - t0
+        t0 = time.perf_counter()
+        scan()
+        dt = time.perf_counter() - t0
+        cells = lq * lb * nw * 1024
+        print(
+            f"longpair lq={lq}: {cells/dt/1e9:6.1f} GCUPS wall "
+            f"({dt:.2f}s, {lq * lb * nw * 1024 / 1e9:.1f} Gcell, "
+            f"{-(-lq // 512)} stripe passes, warm {warm_s:.0f}s)",
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
