@@ -199,6 +199,106 @@ class TestPallasInterpret:
             )
             np.testing.assert_array_equal(got[k, :60], want[:60])
 
+    def test_packed_production_matches_wavefront(self, rng, blosum62):
+        """pack=2/4 field-packed S dots are bit-identical to pack=1.
+
+        Packed production (round 3) folds ``pack`` query rows' biased
+        scores into one f32 dot output via power-of-2 field scaling
+        (exact: every field is an integer under the per-pack bound, the
+        total under 2^24 — see _run_block's docstring).
+        """
+        sc = blosum62  # P' = P + 12 in [8, 23]: inside pack=4's 31-bound
+        q = sc.query_indices(random_protein(rng, 11))
+        prof = make_profile(sc.table, q)
+        seqs = [
+            encode(random_protein(rng, int(rng.integers(1, 10))))
+            for _ in range(50)
+        ]
+        db = np.full((12, 1024), PAD_INDEX, dtype=np.int32)
+        for k, s in enumerate(seqs):
+            db[: len(s), k] = s
+        want = np.asarray(
+            sw_wavefront(prof, db, sc.gap_open_total, sc.gap_extend)
+        )
+        for pack in (2, 4):
+            got = np.asarray(
+                sw_pallas_windows(
+                    prof, db[None], sc.gap_open_total, sc.gap_extend,
+                    nw=1, jb=4, ui=2, ic=12, pipe=6, pack=pack,
+                    interpret=True,
+                )
+            )
+            np.testing.assert_array_equal(got[:50], want[:50])
+
+    def test_packed_requires_fused_mode(self, blosum62):
+        sc = blosum62
+        prof = make_profile(sc.table, sc.query_indices("ACDEFGHK"))
+        db = np.full((1, 4, 1024), PAD_INDEX, dtype=np.int32)
+        with pytest.raises(ValueError, match="pack > 1 requires"):
+            sw_pallas_windows(
+                prof, db, sc.gap_open_total, sc.gap_extend,
+                nw=1, jb=4, ui=2, ic=4, pipe=0, pack=4, interpret=True,
+            )
+
+    def test_packed_profile_at_field_bound(self, rng):
+        """|P'| exactly at the pack=4 bound (31) stays exact.
+
+        The packed field layout is exact only while every biased score
+        fits its 6-bit field; this pins the boundary so a future scoring
+        model that widens the range must widen pack's gate, not corrupt
+        scores silently.
+        """
+        go, ge = -3, -1
+        lq = 8
+        # P' = P - go = P + 3 == +/-31 at the extremes
+        prof = rng.integers(-34, 29, (lq, 32)).astype(np.int32)
+        prof[0, 1] = 28   # P' = 31
+        prof[1, 2] = -34  # P' = -31
+        db = np.full((1, 4, 1024), PAD_INDEX, dtype=np.int32)
+        db[0, :, :64] = rng.integers(1, 27, (4, 64))
+        want = np.asarray(sw_wavefront(prof, db[0], go, ge))
+        got = np.asarray(
+            sw_pallas_windows(
+                prof, db, go, ge,
+                nw=1, jb=4, ui=2, ic=8, pipe=6, pack=4, interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(got[:64], want[:64])
+
+    @pytest.mark.slow
+    def test_packed_multiquery(self, rng, blosum62):
+        """pack=4 with row-stacked queries: packed groups never straddle a
+        query boundary (per-query rows pad to lcm(ui, pack))."""
+        sc = blosum62
+        nq, lqmax = 2, 9
+        queries = [
+            random_protein(rng, int(rng.integers(5, lqmax + 1)))
+            for _ in range(nq)
+        ]
+        profs = np.zeros((nq, lqmax, 32), dtype=np.int32)
+        for k, q in enumerate(queries):
+            p = make_profile(sc.table, sc.query_indices(q))
+            profs[k, : len(p)] = p
+        seqs = [
+            encode(random_protein(rng, int(rng.integers(1, 12))))
+            for _ in range(40)
+        ]
+        db = np.full((12, 1024), PAD_INDEX, dtype=np.int32)
+        for k, s in enumerate(seqs):
+            db[: len(s), k] = s
+        got = np.asarray(
+            sw_pallas_windows(
+                profs, db[None], sc.gap_open_total, sc.gap_extend,
+                nw=1, jb=4, ui=2, ic=24, pipe=6, pack=4, interpret=True,
+            )
+        )
+        assert got.shape == (nq, 1024)
+        for k in range(nq):
+            want = np.asarray(
+                sw_wavefront(profs[k], db, sc.gap_open_total, sc.gap_extend)
+            )
+            np.testing.assert_array_equal(got[k, :40], want[:40])
+
     @pytest.mark.slow
     def test_stream_multiquery(self, rng, blosum62):
         """Segmented stream + multi-query: both axes of batching at once."""

@@ -109,10 +109,19 @@ def main() -> int:
         if not args.skip_verify:
             # chain(1) perturbed prof[0,0] by 0 % 4 == 0 -> plain profile.
             with jax.default_device(cpu):
-                want = np.concatenate([
-                    np.asarray(sw_wavefront(prof, dbh[w], -3, -1))
-                    for w in range(cfg.nw)
-                ])
+                if nq > 1:
+                    want = np.stack([
+                        np.concatenate([
+                            np.asarray(sw_wavefront(prof[q], dbh[w], -3, -1))
+                            for w in range(cfg.nw)
+                        ])
+                        for q in range(nq)
+                    ])
+                else:
+                    want = np.concatenate([
+                        np.asarray(sw_wavefront(prof, dbh[w], -3, -1))
+                        for w in range(cfg.nw)
+                    ])
             ok = bool((out1 == want).all())
 
         def one(reps):
@@ -124,13 +133,36 @@ def main() -> int:
         t1 = min(one(1) for _ in range(args.best_of))
         t5 = min(one(5) for _ in range(args.best_of))
         dt = max((t5 - t1) / 4, 1e-9)
-        g = lq * lb * cfg.nw * 1024 / dt / 1e9
+        g = nq * lq * lb * cfg.nw * 1024 / dt / 1e9
         print(
             f"lq={lq:4d} {cfg}: exact={ok}  {g:6.1f} GCUPS"
             f"  (load {load_s:.0f}s)",
             flush=True,
         )
         return g
+
+    if args.mq > 1:
+        # Row-stacked multi-query: NQ short queries per dispatch. The
+        # packed fused dot amortizes one-hot + per-dot overhead across
+        # the whole stack — the lever blocks-of-one can't reach.
+        nq = args.mq
+        for lq in args.lq or (17, 24, 48):
+            base = choose_config(lq, nq=nq)
+            print(f"--- mq{nq} lq={lq} (production: {base}) ---", flush=True)
+            if base is not None:
+                run(lq, base, nq=nq)
+            lqe2 = -(-lq // max(2, 2)) * 2
+            lqe4 = -(-lq // 4) * 4
+            stack2 = nq * lqe2
+            stack4 = nq * lqe4
+            for cfg in (
+                KernelConfig(nw=2, jb=4, ui=2, ic=stack4, pipe=6, pack=4),
+                KernelConfig(nw=2, jb=4, ui=2, ic=stack2, pipe=6, pack=2),
+                KernelConfig(nw=4, jb=4, ui=2, ic=stack4, pipe=6, pack=4),
+                KernelConfig(nw=2, jb=4, ui=2, ic=stack2, pipe=6, pack=1),
+            ):
+                run(lq, cfg, nq=nq)
+        return 0
 
     for lq in args.lq or (17, 64, 144, 256, 512):
         base = choose_config(lq)
