@@ -208,7 +208,10 @@ def main() -> None:
     for start in range(0, n, chunk_slots * 1024):
         chunk = order[start : start + chunk_slots * 1024]
         nslots = -(-len(chunk) // 1024)
-        cfg = choose_config(QUERY_LEN, reserve=(1 << 20))
+        # +3: the chained-rep perturbation below adds up to 3 to one
+        # profile entry; the packed-production bound must cover it.
+        pmax = float(np.max(np.abs(profile.astype(np.float64) - go))) + 3
+        cfg = choose_config(QUERY_LEN, reserve=(1 << 20), max_abs_bias=pmax)
         pack = pack_streams(db, chunk, cfg.nw, win=1024, jb=cfg.jb, grain=16)
         padded_cells += QUERY_LEN * pack.padded_cells_per_query_row
         packs.append(
@@ -217,7 +220,7 @@ def main() -> None:
                 jax.device_put(pack.fs),
                 dict(
                     nslots=nslots, nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic,
-                    pipe=cfg.pipe,
+                    pipe=cfg.pipe, pack=cfg.pack,
                 ),
             )
         )
@@ -319,7 +322,8 @@ def _short_and_mq_points(jax, jnp, functools, db, sc, aa20, rng):
         profs[k] = make_profile(sc.table, q)
     go, ge = sc.gap_open_total, sc.gap_extend
     order = np.arange(db.n)
-    cfg = choose_config(lq, reserve=(1 << 20))
+    pmax = float(np.max(np.abs(profs.astype(np.float64) - go))) + 3
+    cfg = choose_config(lq, reserve=(1 << 20), max_abs_bias=pmax)
     pack = pack_streams(db, order, cfg.nw, win=1024, jb=cfg.jb, grain=16)
     sd = jax.device_put(pack.streams)
     fd = jax.device_put(pack.fs)
@@ -327,7 +331,7 @@ def _short_and_mq_points(jax, jnp, functools, db, sc, aa20, rng):
     jax.block_until_ready([sd, fd, pd])
     kw = dict(
         nslots=len(pack.slot_ids), nw=cfg.nw, jb=cfg.jb, ui=cfg.ui,
-        ic=cfg.ic, pipe=cfg.pipe,
+        ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack,
     )
 
     @jax.jit

@@ -1228,14 +1228,19 @@ def sw_pallas_multi(
 _VMEM_BUDGET = 15.2 * 2**20
 MAX_QUERY_ROWS = 1536  # beyond this, row-striped passes
 
-# (nw, jb, ui, pipe, full_ic) shapes validated + ranked on v5e hardware
-# (tools/exp_spipe.py, tools/tpu_check --sweep; docs/DESIGN.md round-2
-# measurement log). pipe=6 = fused single-dot S production (the round-2
-# discovery: dot COUNT, not volume, sets the S cost); full_ic entries
-# produce the whole padded query's S in one dot per grid step (short
-# queries only - the buffer is 2*lqp*nw*jb*4KB). pipe entries double the
-# S buffer (static-parity double buffering). Combos outside these lists
-# have hit Mosaic compiler crashes on this jax/libtpu version -- stick to
+# (nw, jb, ui, pipe, full_ic[, pack]) shapes validated + ranked on v5e
+# hardware (tools/exp_spipe.py, tools/exp_pack.py, tools/tpu_check
+# --sweep; docs/DESIGN.md round-2/3 measurement logs). pipe=6 = fused
+# single-dot S production (the round-2 discovery: dot COUNT, not volume,
+# sets the S cost); full_ic entries produce the whole padded query's S in
+# one dot per grid step (short queries only - the buffer is
+# 2*lqp*nw*jb*4KB). pipe entries double the S buffer (static-parity
+# double buffering). pack>1 entries (round 3) field-pack that many query
+# rows per f32 dot output — eligible only when the caller's biased
+# profile fits the per-pack bound (choose_config(max_abs_bias=...));
+# measured +10% at lq=144 with full-height dots (exp_pack: 232.4 vs
+# 212.0 GCUPS, pack=4 ic=lqp). Combos outside these lists have hit
+# Mosaic compiler crashes on this jax/libtpu version -- stick to
 # validated shapes; pipe=0 fallbacks remain for every band.
 _SHAPES_SHORT = [
     (5, 8, 2, 6, True), (6, 8, 2, 6, True), (4, 8, 2, 6, True),
@@ -1255,6 +1260,7 @@ _SHAPES_LONG = [
 # GCUPS at lq=144 vs 204 for every pipe=0 shape; 219 vs 222 at 192; 220 vs
 # 224 at 256 — the boundary sits where the tie flips).
 _SHAPES_XLONG = [
+    (2, 4, 16, 6, True, 4),
     (2, 4, 16, 6, False), (4, 4, 16, 6, False),
     (4, 4, 16, 0, False), (2, 4, 16, 0, False), (2, 8, 16, 0, False),
     (1, 4, 32, 0, False), (1, 4, 16, 0, False), (1, 4, 8, 0, False),
@@ -1280,12 +1286,18 @@ _SHAPES_MQ = [
 ]
 
 
+#: max |P'| (biased profile magnitude) each pack level represents exactly
+#: in its f32 field — see _run_block's packed-production docstring.
+PACK_BOUNDS = {1: float(_BF16_EXACT), 2: 128.0, 4: 31.0}
+
+
 def choose_config(
     lq: int,
     nw: int | None = None,
     reserve: int = 0,
     nq: int = 1,
     nw_max: int | None = None,
+    max_abs_bias: float | None = None,
 ) -> KernelConfig | None:
     """Pick (windows, j-block, row-unroll, S-chunk rows) for a query length.
 
@@ -1295,6 +1307,12 @@ def choose_config(
     subtracts caller VMEM (e.g. the stream kernel's output slots) from the
     budget. The S chunk is sized to whatever budget remains (measured:
     chunk size matters little; window count dominates).
+
+    ``max_abs_bias`` is the caller's bound on |P - go| (the biased
+    profile). Packed-production shapes (pack>1) are eligible only when it
+    fits the pack level's exact-field range (PACK_BOUNDS); with the
+    default ``None`` only pack=1 shapes are considered, so callers that
+    haven't inspected their profile can never select a lossy config.
     """
     if nq > 1:
         shapes = _SHAPES_MQ
@@ -1307,37 +1325,50 @@ def choose_config(
     else:
         shapes = _SHAPES_XXLONG
     budget = _VMEM_BUDGET - reserve
-    for nw_c, jb, ui, pipe, full_ic in shapes:
+    for shape in shapes:
+        nw_c, jb, ui, pipe, full_ic = shape[:5]
+        pk = shape[5] if len(shape) > 5 else 1
         if nw is not None and nw_c != nw:
             continue
         if nw_max is not None and nw_c > nw_max:
             continue
-        lqp = nq * (-(-lq // ui) * ui)  # per-query rows pad to ui
+        if pk > 1 and (
+            max_abs_bias is None or max_abs_bias > PACK_BOUNDS[pk]
+        ):
+            continue
+        # per-query rows pad to the (ui, pack) lattice so packed groups
+        # never straddle a query boundary (mirrors sw_pallas_windows)
+        lat = ui * pk // math.gcd(ui, pk)
+        lqp = nq * (-(-lq // lat) * lat)
         rows = 2 * lqp * nw_c * WINDOW_LANES * 4
         state = (2 * jb + 1) * nw_c * WINDOW_LANES * 4
         best = nq * nw_c * WINDOW_LANES * 4
         # bf16 one-hot encodings live on the VMEM stack for the whole step;
         # weighted at half size (measured: configs at the full-size model
         # limit compile fine -- Mosaic appears to stream them into the dots)
-        onehot = nw_c * jb * ALPHA * WINDOW_LANES
+        # pack>1 widens the one-hot along K by the pack factor.
+        onehot = nw_c * jb * pk * ALPHA * WINDOW_LANES
         parity = 2 if pipe else 1  # pipe modes double-buffer the S block
-        ic_budget = (budget - rows - state - best - onehot) / (
+        # packed s_buf holds ic/pack physical rows per chunk
+        ic_budget = pk * (budget - rows - state - best - onehot) / (
             parity * nw_c * jb * WINDOW_LANES * 4
         )
         if full_ic:
             # the whole padded query's S in one dot per grid step
             ic = lqp if ic_budget >= lqp else 0
         elif pipe:
-            ic = ui if ic_budget >= ui else 0
+            ic = lat if ic_budget >= lat else 0
         elif lq <= 48:
             # short queries: one chunk covering the whole (padded) query
-            ic = min(lqp, int(ic_budget // ui) * ui)
+            ic = min(lqp, int(ic_budget // lat) * lat)
         else:
             # long queries: the smallest legal S chunk measured fastest
             # (small production granules interleave better with the DP loop)
-            ic = ui if ic_budget >= ui else 0
+            ic = lat if ic_budget >= lat else 0
         if ic >= ui:
-            return KernelConfig(nw=nw_c, jb=jb, ui=ui, ic=ic, pipe=pipe)
+            return KernelConfig(
+                nw=nw_c, jb=jb, ui=ui, ic=ic, pipe=pipe, pack=pk
+            )
     return None  # no validated shape fits VMEM: route to the XLA engine
 
 

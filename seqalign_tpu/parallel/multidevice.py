@@ -98,7 +98,13 @@ def multi_device_search(
     # the AOT compile below happens once, not once per device.
     nslots = max(-(-len(c) // win) for c in chunks)
     reserve = nslots * nq * 4096 + (1 << 20)
-    cfg = choose_config(lq, reserve=reserve, nq=nq, nw_max=max(1, nslots))
+    pmax = float(
+        np.max(np.abs(np.asarray(profile, np.float64) - go))
+    ) if np.asarray(profile).size else 0.0
+    cfg = choose_config(
+        lq, reserve=reserve, nq=nq, nw_max=max(1, nslots),
+        max_abs_bias=pmax,
+    )
     if cfg is None:
         raise ValueError("query too long for the stream kernel's VMEM")
     packs = [
@@ -128,7 +134,7 @@ def multi_device_search(
         jax.block_until_ready([s_dev, f_dev, p_dev])
         kw = dict(
             nslots=nslots, nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic,
-            pipe=cfg.pipe,
+            pipe=cfg.pipe, pack=cfg.pack,
         )
         if engine_fn is None:
             from ..pipeline import _EXEC_CACHE

@@ -427,9 +427,18 @@ def _stream_search(
         run = None
         run_all = None  # one-dispatch scan over all query blocks
         retry_cap = nw_cap
+        # |P - go| bound unlocks packed-production shapes (pack>1) where
+        # the biased profile fits the pack level's exact f32 field; the
+        # striped kernel has no packed path, so striping keeps pack=1.
+        pmax = None
+        if not striped:
+            pmax = float(
+                np.max(np.abs(np.asarray(profile, np.float64) - go))
+            ) if profile.size else 0.0
         while run is None:
             cfg = choose_config(
-                cfg_lq, reserve=reserve, nq=nq_b, nw_max=retry_cap
+                cfg_lq, reserve=reserve, nq=nq_b, nw_max=retry_cap,
+                max_abs_bias=pmax,
             )
             if cfg is None:  # nothing fits VMEM: caller falls back to XLA
                 return None
@@ -455,7 +464,7 @@ def _stream_search(
                 else:
                     kw = dict(
                         nslots=nslots_c, nw=nw, jb=cfg.jb, ui=cfg.ui,
-                        ic=cfg.ic, pipe=cfg.pipe,
+                        ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack,
                     )
                     # AOT-compile outside the timed region: the reference's
                     # timer also excludes everything but the kernel loop

@@ -31,30 +31,57 @@ class TestChooseConfig:
             assert choose_config(lq) is not None
 
     def test_bounds(self):
+        import math
+
         for lq in (8, 17, 144, 333, 1024):
             for nq in (1, 8):
                 for reserve in (0, 2 << 20):
-                    cfg = choose_config(lq, reserve=reserve, nq=nq)
-                    if cfg is None:
-                        # Infeasible row footprints must be rejected, not
-                        # silently over-allocated (callers fall back to XLA).
-                        assert nq * lq >= 1024
-                        continue
-                    lqp = nq * (-(-lq // cfg.ui) * cfg.ui)
-                    assert 1 <= cfg.nw
-                    assert cfg.ui <= cfg.ic <= lqp and cfg.ic % cfg.ui == 0
-                    # VMEM footprint (incl. half-weighted one-hot stack
-                    # temporaries, per-query bests, and the pipe modes'
-                    # double-buffered S block) stays under budget
-                    parity = 2 if cfg.pipe else 1
-                    vmem = (
-                        2 * lqp * cfg.nw * 4096
-                        + parity * cfg.nw * cfg.jb * cfg.ic * 4096
-                        + (2 * cfg.jb + 1) * cfg.nw * 4096
-                        + nq * cfg.nw * 4096
-                        + cfg.nw * cfg.jb * 32 * 1024
-                    )
-                    assert vmem <= 15.2 * 2**20 - reserve
+                    for pmax in (None, 22.0):
+                        cfg = choose_config(
+                            lq, reserve=reserve, nq=nq, max_abs_bias=pmax
+                        )
+                        if cfg is None:
+                            # Infeasible row footprints must be rejected,
+                            # not silently over-allocated (callers fall
+                            # back to XLA).
+                            assert nq * lq >= 1024
+                            continue
+                        lat = (
+                            cfg.ui * cfg.pack
+                            // math.gcd(cfg.ui, cfg.pack)
+                        )
+                        lqp = nq * (-(-lq // lat) * lat)
+                        assert 1 <= cfg.nw
+                        assert cfg.ui <= cfg.ic <= lqp
+                        assert cfg.ic % cfg.ui == 0
+                        assert cfg.ic % cfg.pack == 0
+                        if pmax is None:
+                            # no bias bound known: packing must stay off
+                            assert cfg.pack == 1
+                        # VMEM footprint (incl. half-weighted one-hot
+                        # stack temporaries widened by pack, per-query
+                        # bests, the pipe modes' double-buffered S block
+                        # at ic/pack physical rows) stays under budget
+                        parity = 2 if cfg.pipe else 1
+                        vmem = (
+                            2 * lqp * cfg.nw * 4096
+                            + parity * cfg.nw * cfg.jb
+                            * (cfg.ic // cfg.pack) * 4096
+                            + (2 * cfg.jb + 1) * cfg.nw * 4096
+                            + nq * cfg.nw * 4096
+                            + cfg.nw * cfg.jb * cfg.pack * 32 * 1024
+                        )
+                        assert vmem <= 15.2 * 2**20 - reserve
+
+    def test_pack_gate(self):
+        """Packed shapes appear only under an in-bound bias limit."""
+        # lq=144 band carries the hardware-validated pack=4 full-height
+        # entry (exp_pack: 232.4 vs 212.0 GCUPS)
+        cfg = choose_config(144, max_abs_bias=22.0)
+        assert cfg.pack == 4 and cfg.pipe == 6 and cfg.ic == 144
+        # beyond the 6-bit field bound the entry is ineligible
+        assert choose_config(144, max_abs_bias=32.0).pack == 1
+        assert choose_config(144).pack == 1  # unknown bias: off
 
     def test_fixed_nw_honored(self):
         for lq in (17, 144):

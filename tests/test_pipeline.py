@@ -359,6 +359,47 @@ class TestStreamSearch:
         np.testing.assert_array_equal(got, want)
 
     @pytest.mark.slow
+    def test_packed_band_matches_wavefront(self, rng, blosum62, monkeypatch):
+        """lq in the packed band: _stream_search selects pack=4 (BLOSUM62's
+        |P'| fits the 6-bit field) and stays exact end-to-end."""
+        import functools
+
+        import seqalign_tpu.ops.swa_pallas as sp
+        from seqalign_tpu.models import encode
+        from seqalign_tpu.ops.swa_xla import make_profile
+        from seqalign_tpu.pipeline import (
+            _db_from_encoded,
+            _stream_search,
+            search_encoded,
+        )
+        from conftest import random_protein
+
+        sc = blosum62
+        q = sc.query_indices(random_protein(rng, 100))
+        cfg = sp.choose_config(
+            100, reserve=1 << 20,
+            max_abs_bias=float(np.max(np.abs(sc.table - sc.gap_open_total))),
+        )
+        assert cfg.pack == 4  # the band's packed entry must be eligible
+        monkeypatch.setattr(
+            sp,
+            "sw_pallas_stream",
+            functools.partial(sp.sw_pallas_stream, interpret=True),
+        )
+        encoded = [
+            encode(random_protein(rng, int(rng.integers(1, 16))))
+            for _ in range(700)
+        ]
+        db = _db_from_encoded(encoded)
+        profile = make_profile(sc.table, q)
+        order = np.argsort(-db.lengths, kind="stable")
+        got, _ = _stream_search(
+            profile, db, sc.gap_open_total, sc.gap_extend, order, None
+        )
+        want, _ = search_encoded(q, encoded, sc, engine="wavefront")
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.slow
     def test_multi_query_stream(self, rng, blosum62, monkeypatch):
         import functools
 

@@ -105,9 +105,12 @@ def main() -> int:
 
     def check_and_time(lq, cfg, verify=True):
         nonlocal failures
+        # |P'| = |P + 3| <= 15 (+3 perturbation margin): inside every
+        # pack level's bound, so packed production configs time honestly
         prof = rng.integers(-8, 12, (lq, 32)).astype(np.int32)
         kw = dict(nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic,
-                  pipe=getattr(cfg, 'pipe', 0))
+                  pipe=getattr(cfg, 'pipe', 0),
+                  pack=getattr(cfg, 'pack', 1))
         ok = True
         if verify:
             db = rng.integers(1, 27, (cfg.nw, 256, 1024)).astype(np.int32)
@@ -170,7 +173,8 @@ def main() -> int:
         failures += check_paths(rng)
     else:
         for lq in args.lq or (17, 64, 144, 256, 384, 512, 768):
-            cfg = choose_config(lq)
+            # bias bound matches the ladder's synthetic profile (|P'|<=18)
+            cfg = choose_config(lq, max_abs_bias=18.0)
             check_and_time(lq, cfg)
 
     print("FAILURES:", failures)
@@ -270,16 +274,18 @@ def check_paths(rng) -> int:
             s[ids] = (out[slot] if k is None else out[slot, k])[: len(ids)]
         return s
 
-    # 1) segmented stream
+    # 1) segmented stream — same config selection as production
+    # (_stream_search passes the bias bound, unlocking packed shapes)
     q = aa20[rng.integers(0, 20, 144)].astype(np.int32)
     prof = make_profile(sc.table, q)
-    cfg = choose_config(144, reserve=(1 << 20))
+    pmax = float(np.max(np.abs(prof.astype(np.float64) - go)))
+    cfg = choose_config(144, reserve=(1 << 20), max_abs_bias=pmax)
     pack = pack_streams(db, order, cfg.nw, jb=cfg.jb, grain=16)
     out = np.asarray(
         sw_pallas_stream(
             prof, pack.streams, pack.fs, go, ge,
             nslots=len(pack.slot_ids), nw=cfg.nw, jb=cfg.jb, ui=cfg.ui,
-            ic=cfg.ic, pipe=cfg.pipe,
+            ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack,
         )
     )
     want = np.asarray(sw_wavefront(prof, flat, go, ge))
