@@ -535,6 +535,21 @@ def _stream_search(
                 # retry: silent degradation destroyed diagnosis in round 1.
                 import sys
 
+                if cfg.pack > 1:
+                    # Packed-production compile failure: retry the same
+                    # window count with packing off before shrinking nw
+                    # (the pack=1 sibling shape is the measured runner-up,
+                    # a smaller nw is much slower).
+                    print(
+                        f"Warning: packed stream kernel (pack={cfg.pack}) "
+                        f"compile failed at nw={nw} "
+                        f"({type(ex).__name__}: {str(ex)[:200]}); "
+                        "retrying without packed production.",
+                        file=sys.stderr,
+                    )
+                    pmax = None
+                    run = None
+                    continue
                 print(
                     f"Warning: stream kernel compile failed at nw={nw} "
                     f"({type(ex).__name__}: {str(ex)[:200]}); "

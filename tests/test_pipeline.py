@@ -381,11 +381,14 @@ class TestStreamSearch:
             max_abs_bias=float(np.max(np.abs(sc.table - sc.gap_open_total))),
         )
         assert cfg.pack == 4  # the band's packed entry must be eligible
-        monkeypatch.setattr(
-            sp,
-            "sw_pallas_stream",
-            functools.partial(sp.sw_pallas_stream, interpret=True),
-        )
+        used = []
+        _orig = sp.sw_pallas_stream
+
+        def recording(*a, **kw):
+            used.append(kw.get("pack", 1))
+            return _orig(*a, interpret=True, **kw)
+
+        monkeypatch.setattr(sp, "sw_pallas_stream", recording)
         encoded = [
             encode(random_protein(rng, int(rng.integers(1, 16))))
             for _ in range(700)
@@ -393,11 +396,77 @@ class TestStreamSearch:
         db = _db_from_encoded(encoded)
         profile = make_profile(sc.table, q)
         order = np.argsort(-db.lengths, kind="stable")
+        # lanes=2048: admit the packed entry's nw=2 despite the small DB
+        # (nw_cap is otherwise bounded by the single output slot).
         got, _ = _stream_search(
-            profile, db, sc.gap_open_total, sc.gap_extend, order, None
+            profile, db, sc.gap_open_total, sc.gap_extend, order, 2048
+        )
+        assert 4 in used  # the packed kernel actually ran
+        want, _ = search_encoded(q, encoded, sc, engine="wavefront")
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.slow
+    def test_packed_compile_failure_degrades_to_pack1(
+        self, rng, blosum62, monkeypatch, capsys
+    ):
+        """A Mosaic compile failure of the packed stream kernel must retry
+        the SAME window count with packing off (the measured runner-up
+        shape), not shrink nw or kill the search."""
+        import functools
+
+        import seqalign_tpu.ops.swa_pallas as sp
+        from seqalign_tpu.models import encode
+        from seqalign_tpu.ops.swa_xla import make_profile
+        from seqalign_tpu.pipeline import (
+            _db_from_encoded,
+            _stream_search,
+            search_encoded,
+        )
+        from conftest import random_protein
+
+        inner = functools.partial(sp.sw_pallas_stream, interpret=True)
+        seen = []
+
+        def fake(*a, **kw):
+            return inner(*a, **kw)
+
+        def lower(prof, streams, fs, go, ge, **kw):
+            seen.append((kw.get("pack", 1), kw.get("nw")))
+            if kw.get("pack", 1) > 1:
+                raise ValueError("simulated Mosaic crash on packed shape")
+
+            class _C:
+                def compile(self):
+                    return lambda p, s, f: fake(p, s, f, go, ge, **kw)
+
+            return _C()
+
+        fake.lower = lower
+        monkeypatch.setattr(sp, "sw_pallas_stream", fake)
+        import seqalign_tpu.pipeline as pl
+
+        monkeypatch.setattr(pl, "_EXEC_CACHE", {})
+
+        sc = blosum62
+        q = sc.query_indices(random_protein(rng, 100))  # packed band
+        encoded = [
+            encode(random_protein(rng, int(rng.integers(1, 8))))
+            for _ in range(500)
+        ]
+        db = _db_from_encoded(encoded)
+        profile = make_profile(sc.table, q)
+        order = np.argsort(-db.lengths, kind="stable")
+        # lanes=2048: admit the packed entry's nw=2 despite the small DB
+        # (nw_cap is otherwise bounded by the single output slot).
+        got, _ = _stream_search(
+            profile, db, sc.gap_open_total, sc.gap_extend, order, 2048
         )
         want, _ = search_encoded(q, encoded, sc, engine="wavefront")
         np.testing.assert_array_equal(got, want)
+        # First attempt was packed, the retry was pack=1 at the same nw.
+        assert seen[0][0] > 1 and seen[1][0] == 1
+        assert seen[1][1] == seen[0][1]
+        assert "retrying without packed production" in capsys.readouterr().err
 
     @pytest.mark.slow
     def test_multi_query_stream(self, rng, blosum62, monkeypatch):

@@ -147,7 +147,7 @@ def main() -> int:
         # the whole stack — the lever blocks-of-one can't reach.
         nq = args.mq
         for lq in args.lq or (17, 24, 48):
-            base = choose_config(lq, nq=nq)
+            base = choose_config(lq, nq=nq, max_abs_bias=18.0)
             print(f"--- mq{nq} lq={lq} (production: {base}) ---", flush=True)
             if base is not None:
                 run(lq, base, nq=nq)
@@ -165,7 +165,7 @@ def main() -> int:
         return 0
 
     for lq in args.lq or (17, 64, 144, 256, 512):
-        base = choose_config(lq)
+        base = choose_config(lq, max_abs_bias=18.0)
         print(f"--- lq={lq} (production: {base}) ---", flush=True)
         run(lq, base)
         cands = []
