@@ -126,6 +126,7 @@ def _run_block(
     bnd=None,
     pipe: int = 0,
     pack: int = 1,
+    upk: str = "floor",
 ):
     """Advance the DP over one j-block (JB db positions x all query rows).
 
@@ -312,7 +313,20 @@ def _run_block(
 
     def unpack_s(w, t, x, phase):
         """Field ``phase`` of the packed S value; x is the packed load at
-        phase 0 (None afterwards — the remainder carries in scarry)."""
+        phase 0 (None afterwards — the remainder carries in scarry).
+
+        upk="floor": biased non-negative lower fields, floor extraction.
+        upk="round": signed fields, round-to-nearest extraction (exact:
+        the lower-field tail is strictly < half a unit of the field being
+        extracted); no bias subtraction, and the last phase is free.
+        """
+        if upk == "round":
+            if phase == pack - 1:
+                return scarry[w][t] if phase else x
+            src = x if phase == 0 else scarry[w][t]
+            f = jnp.round(src * (1.0 / _pk_scale[phase]))
+            scarry[w][t] = src - f * _pk_scale[phase]
+            return f
         if phase == 0:
             hi = jnp.floor(x * (1.0 / _pk_scale[0]))
             scarry[w][t] = x - hi * _pk_scale[0]
@@ -712,7 +726,9 @@ class KernelConfig:
     # |P'| bounds each pack level requires
 
 
-def _pack_profile(prof32: jax.Array, pack: int) -> jax.Array:
+def _pack_profile(
+    prof32: jax.Array, pack: int, upk: str = "floor"
+) -> jax.Array:
     """Pack ``pack`` consecutive biased profile rows into one row of
     ``pack`` scaled alphabet copies (K = pack*32), bf16.
 
@@ -720,10 +736,25 @@ def _pack_profile(prof32: jax.Array, pack: int) -> jax.Array:
     the scales are powers of two), and the dot's per-output sum of the
     selected fields is exact in f32 (< 2^24). See _run_block's packed-
     production docstring for the bounds the caller must guarantee.
+
+    ``upk="round"`` stores SIGNED fields with no bias: extraction then
+    uses round-to-nearest (exact because the lower-field tail is strictly
+    below half a field unit), saving the per-phase bias subtraction in
+    the DP loop — 12 VPU ops per pack=4 group instead of 15.
     """
     rows = prof32.shape[0]
     pr = prof32.reshape(rows // pack, pack, ALPHA)
-    if pack == 2:
+    if upk == "round":
+        if pack == 2:
+            fields = [pr[:, 0] * 512.0, pr[:, 1]]
+        else:
+            fields = [
+                pr[:, 0] * 262144.0,
+                pr[:, 1] * 4096.0,
+                pr[:, 2] * 64.0,
+                pr[:, 3],
+            ]
+    elif pack == 2:
         fields = [pr[:, 0] * 512.0, pr[:, 1] + 128.0]
     else:
         fields = [
@@ -738,7 +769,7 @@ def _pack_profile(prof32: jax.Array, pack: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "go", "ge", "sl", "nw", "jb", "ic", "ui", "pipe", "pack",
+        "go", "ge", "sl", "nw", "jb", "ic", "ui", "pipe", "pack", "upk",
         "interpret",
     ),
 )
@@ -755,6 +786,7 @@ def sw_pallas_windows(
     ui: int = DEFAULT_UI,
     pipe: int = 0,
     pack: int = 1,
+    upk: str = "floor",
     interpret: bool = False,
 ) -> jax.Array:
     """Score one or more queries against NW stacked lane-batch windows.
@@ -811,13 +843,16 @@ def sw_pallas_windows(
         prof = jnp.pad(prof, ((0, lqe - lq), (0, 0)))
     prof = jnp.pad(prof, ((0, nc * ic - lqp), (0, 0)))
     prof = (
-        _pack_profile(prof, pack) if pack > 1 else prof.astype(jnp.bfloat16)
+        _pack_profile(prof, pack, upk)
+        if pack > 1
+        else prof.astype(jnp.bfloat16)
     )
     dbb = db_windows.astype(jnp.int32).reshape(nw, nj, jb, sl, LANES)
 
     kernel = functools.partial(
         _kernel, lqp=lqp, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui, nc=nc,
         go=int(go), ge=int(ge), nq=nq, lqe=lqe, pipe=pipe, pack=pack,
+        upk=upk,
     )
     out = pl.pallas_call(
         kernel,

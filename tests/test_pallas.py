@@ -257,6 +257,26 @@ class TestPallasInterpret:
             )
             np.testing.assert_array_equal(got[:50], want[:50])
 
+    def test_packed_round_unpack_matches_wavefront(self, rng, blosum62):
+        """upk="round" (signed fields, round-to-nearest extraction, no
+        bias subtraction) is bit-identical too — including the widened
+        pack=2 bound (|P'| <= 255 vs floor mode's 128)."""
+        go, ge = -3, -1
+        lq = 12
+        db = np.full((1, 4, 1024), PAD_INDEX, dtype=np.int32)
+        db[0, :, :96] = rng.integers(1, 27, (4, 96))
+        for pack, lo, hi in ((2, -100, 120), (2, -258, 250), (4, -34, 29)):
+            prof = rng.integers(lo, hi, (lq, 32)).astype(np.int32)
+            want = np.asarray(sw_wavefront(prof, db[0], go, ge))
+            got = np.asarray(
+                sw_pallas_windows(
+                    prof, db, go, ge,
+                    nw=1, jb=4, ui=2, ic=12, pipe=6, pack=pack, upk="round",
+                    interpret=True,
+                )
+            )
+            np.testing.assert_array_equal(got[:96], want[:96])
+
     def test_packed_requires_fused_mode(self, blosum62):
         sc = blosum62
         prof = make_profile(sc.table, sc.query_indices("ACDEFGHK"))

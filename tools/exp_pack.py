@@ -32,6 +32,12 @@ def main() -> int:
     parser.add_argument("--skip-verify", action="store_true")
     parser.add_argument("--best-of", type=int, default=3)
     parser.add_argument(
+        "--upk", default="floor", choices=("floor", "round"),
+        help="packed-field extraction scheme: floor (biased fields) or "
+        "round (signed fields, no bias subtraction - 3 fewer VPU ops "
+        "per pack=4 group)",
+    )
+    parser.add_argument(
         "--mq", type=int, default=0,
         help="row-stacked multi-query: stack N queries per dispatch "
         "(packed fused production amortizes one-hot + dot overheads "
@@ -69,6 +75,8 @@ def main() -> int:
             prof = rng.integers(-8, 12, (lq, 32)).astype(np.int32)
         kw = dict(nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic, pipe=cfg.pipe,
                   pack=cfg.pack)
+        if cfg.pack > 1 and args.upk != "floor":
+            kw["upk"] = args.upk
         dbh = rng.integers(1, 27, (cfg.nw, lb, 1024)).astype(np.int32)
         dj = jax.device_put(dbh)
         pj = jax.device_put(prof)
