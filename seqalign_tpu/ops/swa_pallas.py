@@ -1039,32 +1039,44 @@ def sw_pallas_stream(
     jax.jit,
     static_argnames=(
         "go", "ge", "nslots", "sl", "nw", "jb", "ic", "ui",
-        "has_in", "has_out", "interpret",
+        "has_in", "has_out", "pipe", "pack", "upk", "interpret",
     ),
 )
 def _stream_striped_pass(
     profile, streams, fs, bnd_in, go, ge, *,
-    nslots, sl, nw, jb, ic, ui, has_in, has_out, interpret=False,
+    nslots, sl, nw, jb, ic, ui, has_in, has_out,
+    pipe=0, pack=1, upk="floor", interpret=False,
 ):
     """One stripe pass of the striped stream kernel. Internal."""
     lq = profile.shape[0]
     nw_in, lb, b = streams.shape
     nj = lb // jb
-    lqp = -(-lq // ui) * ui
-    ic = min(-(-ic // ui) * ui, lqp)
+    lat = ui * pack // math.gcd(ui, pack)
+    lqp = -(-lq // lat) * lat
+    ic = min(-(-ic // lat) * lat, lqp)
     nc = -(-lqp // ic)
 
-    prof = (profile.astype(jnp.float32) - go).astype(jnp.bfloat16)
+    prof = profile.astype(jnp.float32) - go
     prof = jnp.pad(prof, ((0, nc * ic - lq), (0, 0)))
+    prof = (
+        _pack_profile(prof, pack, upk)
+        if pack > 1
+        else prof.astype(jnp.bfloat16)
+    )
     dbb = streams.astype(jnp.int32).reshape(nw, nj, jb, sl, LANES)
 
     kernel = functools.partial(
         _kernel_stream_striped, lqp=lqp, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui,
         nc=nc, go=int(go), ge=int(ge), has_in=has_in, has_out=has_out,
+        pipe=pipe, pack=pack, upk=upk,
     )
     in_specs = [
         pl.BlockSpec((1, nw, 2), lambda j: (j, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((nc * ic, ALPHA), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (nc * ic // pack, pack * ALPHA),
+            lambda j: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
         pl.BlockSpec(
             (nw, 1, jb, sl, LANES),
             lambda j: (0, j, 0, 0, 0),
@@ -1103,7 +1115,14 @@ def _stream_striped_pass(
         scratch_shapes=[
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
-            pltpu.VMEM((nw, jb, ic, sl, LANES), jnp.float32),
+            pltpu.VMEM(
+                (2, ic // pack, nw * jb * sl, LANES)
+                if pipe in (6, 7)
+                else (2 * nw, ic, jb * sl, LANES)
+                if pipe == 5
+                else ((2 if pipe in (1, 2, 4) else 1) * nw, jb, ic, sl, LANES),
+                jnp.bfloat16 if pipe in (4, 7) else jnp.float32,
+            ),
             pltpu.VMEM((nw, 1, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, 2 * jb + 1, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, sl, LANES), jnp.float32),
@@ -1139,6 +1158,9 @@ def sw_pallas_stream_striped(
     ic: int | None = None,
     ui: int = DEFAULT_UI,
     stripe_rows: int = STRIPE_ROWS,
+    pipe: int = 0,
+    pack: int = 1,
+    upk: str = "floor",
     interpret: bool = False,
 ) -> jax.Array:
     """Segmented-stream scoring for queries of ANY length via row striping.
@@ -1149,13 +1171,18 @@ def sw_pallas_stream_striped(
     Returns (nslots, SL*128) int32 scores — the max over stripes of each
     pass's per-segment bests (exact: G's running max over disjoint row
     sets).
+
+    ``pipe``/``pack``/``upk`` select the same S-production variants as
+    the flat kernels (each stripe is a <=stripe_rows-row query; packing
+    gates on the same |P'| bounds — the caller guarantees them).
     """
     if ge < go:
         raise ValueError(f"G-form kernel requires ge >= go (got {go=}, {ge=})")
     lq = int(profile.shape[0])
     if ic is None:
         ic = ui
-    sq = -(-stripe_rows // ui) * ui
+    lat = ui * pack // math.gcd(ui, pack)
+    sq = -(-stripe_rows // lat) * lat
     n_stripes = -(-lq // sq)
     best = None
     bnd = None
@@ -1165,6 +1192,7 @@ def sw_pallas_stream_striped(
             pstr, streams, fs, bnd, go, ge,
             nslots=nslots, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui,
             has_in=pth > 0, has_out=pth < n_stripes - 1,
+            pipe=pipe, pack=pack, upk=upk,
             interpret=interpret,
         )
         best = out if best is None else jnp.maximum(best, out)

@@ -397,6 +397,46 @@ class TestPallasInterpret:
             np.testing.assert_array_equal(scores, want)
 
     @pytest.mark.slow
+    def test_striped_packed_production(self, rng, blosum62):
+        """Striped kernel with fused+packed S production (pipe=6 pack=4):
+        stripe boundaries and packed row groups compose exactly."""
+        from seqalign_tpu.ops.swa_pallas import sw_pallas_stream_striped
+        from seqalign_tpu.pipeline import _db_from_encoded
+        from seqalign_tpu.utils.packing import pack_streams
+
+        sc = blosum62
+        q = sc.query_indices(random_protein(rng, 42))
+        prof = make_profile(sc.table, q)
+        encoded = [
+            encode(random_protein(rng, int(rng.integers(1, 16))))
+            for _ in range(900)
+        ]
+        db = _db_from_encoded(encoded)
+        order = np.argsort(-db.lengths, kind="stable")
+        pack = pack_streams(db, order, 2, win=1024, jb=4, grain=8)
+        out = np.asarray(
+            sw_pallas_stream_striped(
+                prof, pack.streams, pack.fs,
+                sc.gap_open_total, sc.gap_extend,
+                nslots=len(pack.slot_ids), nw=2, jb=4, ui=4, ic=16,
+                stripe_rows=16,  # 42 rows -> 3 stripes
+                pipe=6, pack=4,
+                interpret=True,
+            )
+        )
+        scores = np.zeros(len(encoded), dtype=np.int32)
+        for slot, ids in enumerate(pack.slot_ids):
+            scores[ids] = out[slot][: len(ids)]
+        lb = int(db.lengths.max())
+        flat = np.full((lb, len(encoded)), PAD_INDEX, dtype=np.int32)
+        for i, e in enumerate(encoded):
+            flat[: len(e), i] = e
+        want = np.asarray(
+            sw_wavefront(prof, flat, sc.gap_open_total, sc.gap_extend)
+        )
+        np.testing.assert_array_equal(scores, want)
+
+    @pytest.mark.slow
     def test_striped_long_query(self, rng, blosum62):
         """Row-striped stream kernel: 4 stripes, boundary chain through HBM."""
         from seqalign_tpu.ops.swa_pallas import sw_pallas_stream_striped

@@ -32,6 +32,11 @@ def main() -> int:
     parser.add_argument("--nw", type=int, default=2)
     parser.add_argument("--verify-rows", type=int, default=1200,
                         help="also verify a >1-stripe query vs wavefront")
+    parser.add_argument("--pipe", type=int, default=0)
+    parser.add_argument("--pack", type=int, default=1)
+    parser.add_argument("--ic", type=int, default=0,
+                        help="S-chunk rows (0 = ui; use 512 with --pipe 6 "
+                        "for full-stripe fused dots)")
     args = parser.parse_args()
 
     from seqalign_tpu.pipeline import _enable_compile_cache
@@ -54,7 +59,8 @@ def main() -> int:
     lb, nw = args.lb, args.nw
     cpu = jax.devices("cpu")[0]
     cfg = choose_config(512, nw_max=nw)  # stripes are 512-row queries
-    kw = dict(nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ui)
+    kw = dict(nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=args.ic or cfg.ui,
+              pipe=args.pipe, pack=args.pack)
 
     def streams_for(n_positions):
         streams = rng.integers(1, 27, (nw, n_positions, 1024)).astype(np.int32)
