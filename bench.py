@@ -156,6 +156,42 @@ def main() -> None:
     plat = os.environ.get("SEQALIGN_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+    else:
+        # Dead-tunnel guard: backend init through the axon tunnel HANGS
+        # (not errors) when the tunnel is down, which would burn the whole
+        # watchdog budget with nothing stashed. Probe init in a subprocess
+        # (an in-process hang can't be cancelled) and wait for recovery
+        # while budget remains.
+        import subprocess
+
+        def _backend_up() -> bool:
+            try:
+                return (
+                    subprocess.run(
+                        [sys.executable, "-c", "import jax; jax.devices()"],
+                        timeout=150,
+                        capture_output=True,
+                    ).returncode
+                    == 0
+                )
+            except subprocess.TimeoutExpired:
+                return False
+
+        while not _backend_up():
+            if _remaining() < 240:
+                print(
+                    "bench: TPU backend unreachable for the whole budget",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                _emit_best_and_exit(code_if_empty=3)
+            print(
+                "bench: TPU backend probe failed (tunnel down?); "
+                f"retrying ({_remaining():.0f}s budget left)",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(45)
 
     from seqalign_tpu.models import ScoringModel, load_builtin
     from seqalign_tpu.models.alphabet import encode
