@@ -127,6 +127,7 @@ def _run_block(
     pipe: int = 0,
     pack: int = 1,
     upk: str = "floor",
+    const_s: bool = False,
 ):
     """Advance the DP over one j-block (JB db positions x all query rows).
 
@@ -281,6 +282,8 @@ def _run_block(
         )
 
     def produce(c, sbase):
+        if const_s:
+            return  # roofline isolation: no S production at all
         if pipe in (6, 7):
             icp = ic // pack  # packed rows per chunk (pack=1: just ic)
             p_chunk = prof_ref[pl.ds(c * icp, icp), :]
@@ -338,6 +341,11 @@ def _run_block(
         scarry[w][t] = rem - f * _pk_scale[phase]
         return f - _pk_bias
 
+    # const_s: roofline isolation (docs/DESIGN.md "The S-path wall") — S
+    # becomes a register constant, production and s_buf traffic vanish,
+    # only the DP loop remains. Timing-only: scores are meaningless.
+    sconst = jnp.full((sl, LANES), jnp.float32(7.0)) if const_s else None
+
     def emit_group(c, g, sbase, hook=None, svals=None):
         """DP over rows [c*ic + g*ui, +ui). ``g`` may be a Python int
         (straight-line emission, pipe mode) or traced (fori_loop body).
@@ -373,7 +381,9 @@ def _run_block(
             # row_gg[i] — captured here before the sweep overwrites it.
             t0n = gg_prev
             for t in range(jb):
-                if svals is not None:
+                if const_s:
+                    s = [sconst for _ in range(nw)]
+                elif svals is not None:
                     s = [svals[w][t][i - c * ic] for w in range(nw)]
                 elif pipe in (6, 7):
                     if pack == 1:
@@ -770,7 +780,7 @@ def _pack_profile(
     jax.jit,
     static_argnames=(
         "go", "ge", "sl", "nw", "jb", "ic", "ui", "pipe", "pack", "upk",
-        "interpret",
+        "const_s", "interpret",
     ),
 )
 def sw_pallas_windows(
@@ -787,6 +797,7 @@ def sw_pallas_windows(
     pipe: int = 0,
     pack: int = 1,
     upk: str = "floor",
+    const_s: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Score one or more queries against NW stacked lane-batch windows.
@@ -852,7 +863,7 @@ def sw_pallas_windows(
     kernel = functools.partial(
         _kernel, lqp=lqp, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui, nc=nc,
         go=int(go), ge=int(ge), nq=nq, lqe=lqe, pipe=pipe, pack=pack,
-        upk=upk,
+        upk=upk, const_s=const_s,
     )
     out = pl.pallas_call(
         kernel,

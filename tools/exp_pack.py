@@ -38,6 +38,12 @@ def main() -> int:
         "per pack=4 group)",
     )
     parser.add_argument(
+        "--const-s", action="store_true",
+        help="roofline isolation: replace S with a register constant "
+        "(no production, no s_buf traffic) - the per-band ALU ceiling "
+        "for the same DP loop shape; scores are meaningless, verify off",
+    )
+    parser.add_argument(
         "--mq", type=int, default=0,
         help="row-stacked multi-query: stack N queries per dispatch "
         "(packed fused production amortizes one-hot + dot overheads "
@@ -77,6 +83,8 @@ def main() -> int:
                   pack=cfg.pack)
         if cfg.pack > 1 and args.upk != "floor":
             kw["upk"] = args.upk
+        if args.const_s:
+            kw["const_s"] = True
         dbh = rng.integers(1, 27, (cfg.nw, lb, 1024)).astype(np.int32)
         dj = jax.device_put(dbh)
         pj = jax.device_put(prof)
@@ -114,7 +122,7 @@ def main() -> int:
         load_s = time.time() - t0
 
         ok = "skipped"
-        if not args.skip_verify:
+        if not args.skip_verify and not args.const_s:
             # chain(1) perturbed prof[0,0] by 0 % 4 == 0 -> plain profile.
             with jax.default_device(cpu):
                 if nq > 1:
