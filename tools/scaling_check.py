@@ -18,6 +18,7 @@ tool prints a caveat in that case. Run:
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -28,6 +29,14 @@ import numpy as np
 
 def main() -> int:
     import jax
+
+    # Honor JAX_PLATFORMS through the config API: the axon TPU plugin's
+    # eager registration can override the env var, and with the tunnel
+    # down its backend init HANGS instead of erroring — the env route
+    # would stall a CPU-only run indefinitely.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     devices = jax.devices()
     backend = jax.default_backend()
