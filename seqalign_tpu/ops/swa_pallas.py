@@ -1293,6 +1293,7 @@ def sw_pallas_multi(
         ui=cfg.ui,
         ic=cfg.ic,
         pipe=cfg.pipe,
+        pack=cfg.pack,
         interpret=interpret,
     )
 
