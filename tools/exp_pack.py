@@ -196,13 +196,23 @@ def main() -> int:
             ]
         else:
             # lq=144 sweep: packing pays ONLY at full dot height
-            # (ic=lqp); taller unpacked dots lose; nw=4 loses. Focused
-            # grid for the remaining bands.
+            # (ic=lqp); taller unpacked dots lose; nw=4 at SMALL ic
+            # loses. Focused grid for the remaining bands, plus
+            # full-height shapes with more (nw*jb) register chains: the
+            # const-S ceiling is ILP-bound (469 at 32 chains vs 315 at 8,
+            # docs/DESIGN.md), and pack=4 full-height frees the VMEM the
+            # extra windows need.
             lqp4 = -(-lq // 16) * 16
             cands += [
                 KernelConfig(nw=2, jb=4, ui=16, ic=lqp4, pipe=6, pack=4),
                 KernelConfig(nw=2, jb=4, ui=16, ic=lqp4, pipe=6, pack=2),
             ]
+            if lq <= 192:  # rows+s_buf stay under VMEM at full height
+                cands += [
+                    KernelConfig(nw=4, jb=4, ui=16, ic=lqp4, pipe=6, pack=4),
+                    KernelConfig(nw=2, jb=8, ui=16, ic=lqp4, pipe=6, pack=4),
+                    KernelConfig(nw=3, jb=4, ui=16, ic=lqp4, pipe=6, pack=4),
+                ]
         seen = set()
         for cfg in cands:
             key = (cfg.nw, cfg.jb, cfg.ui, cfg.ic, cfg.pipe, cfg.pack)
