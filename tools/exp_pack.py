@@ -176,6 +176,8 @@ def main() -> int:
                 KernelConfig(nw=2, jb=4, ui=2, ic=stack2, pipe=6, pack=2),
                 KernelConfig(nw=4, jb=4, ui=2, ic=stack4, pipe=6, pack=4),
                 KernelConfig(nw=2, jb=4, ui=2, ic=stack2, pipe=6, pack=1),
+                # higher chain counts (ILP lever), VMEM-checked at nq=8
+                KernelConfig(nw=2, jb=8, ui=2, ic=stack4, pipe=6, pack=4),
             ):
                 run(lq, cfg, nq=nq)
         return 0
