@@ -82,7 +82,9 @@ AA_FREQS = AA_FREQS / AA_FREQS.sum()
 
 _T0 = time.time()
 _BUDGET_S = float(os.environ.get("SEQALIGN_BENCH_BUDGET_S", "780"))
-_EMIT_LOCK = threading.Lock()
+# RLock: the SIGTERM handler runs _emit_best_and_exit on the MAIN thread;
+# a plain Lock would deadlock if the signal lands inside a _stash().
+_EMIT_LOCK = threading.RLock()
 _BEST_LINE: list[str] = []  # best-available JSON line so far (len<=1)
 _DONE = threading.Event()
 

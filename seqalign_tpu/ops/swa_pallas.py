@@ -307,7 +307,9 @@ def _run_block(
     # pipe mode, so rows are emitted as Python iterations in order.
     scarry = [[None] * jb for _ in range(nw)]
     if pack > 1:
-        if pipe not in (6, 7):
+        if pipe != 6:
+            # NOT pipe=7: its bf16 s_buf cannot hold packed field sums
+            # (~2^23 >> bf16's 8-bit mantissa) — silent corruption.
             raise ValueError("pack > 1 requires the fused-dot mode (pipe=6)")
         if ic % pack:
             raise ValueError(f"pack={pack} requires ic % pack == 0 ({ic=})")

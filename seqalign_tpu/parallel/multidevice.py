@@ -101,68 +101,90 @@ def multi_device_search(
     pmax = float(
         np.max(np.abs(np.asarray(profile, np.float64) - go))
     ) if np.asarray(profile).size else 0.0
-    cfg = choose_config(
-        lq, reserve=reserve, nq=nq, nw_max=max(1, nslots),
-        max_abs_bias=pmax,
-    )
-    if cfg is None:
-        raise ValueError("query too long for the stream kernel's VMEM")
-    packs = [
-        pack_streams(db, chunk, cfg.nw, win=win, jb=cfg.jb, grain=16)
-        for chunk in chunks
-    ]
-    target = max(p.streams.shape[1] for p in packs)
-    packs = [
-        p
-        if p.streams.shape[1] == target
-        else pack_streams(
-            db, chunk, cfg.nw, win=win, jb=cfg.jb, grain=16,
-            target_len=target,
+    for allow_pack in (True, False):
+        cfg = choose_config(
+            lq, reserve=reserve, nq=nq, nw_max=max(1, nslots),
+            max_abs_bias=pmax if allow_pack else None,
         )
-        for p, chunk in zip(packs, chunks)
-    ]
-
-    work = []
-    for dev, pack in zip(devices, packs):
-        # fs slot tables are per-shard but shapes agree; pad every shard's
-        # output to the common nslots (extra slots never flush). Identical
-        # shapes mean each device's AOT compile is a compilation-cache hit
-        # (executables themselves are device-bound).
-        s_dev = jax.device_put(pack.streams, dev)
-        f_dev = jax.device_put(pack.fs, dev)
-        p_dev = jax.device_put(np.asarray(profile), dev)
-        jax.block_until_ready([s_dev, f_dev, p_dev])
-        kw = dict(
-            nslots=nslots, nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic,
-            pipe=cfg.pipe, pack=cfg.pack,
-        )
-        if engine_fn is None:
-            from ..pipeline import _EXEC_CACHE
-
-            key = (
-                "mdev", str(dev), p_dev.shape, s_dev.shape, f_dev.shape,
-                int(go), int(ge), tuple(sorted(kw.items())),
+        if cfg is None:
+            raise ValueError("query too long for the stream kernel's VMEM")
+        packs = [
+            pack_streams(db, chunk, cfg.nw, win=win, jb=cfg.jb, grain=16)
+            for chunk in chunks
+        ]
+        target = max(p.streams.shape[1] for p in packs)
+        packs = [
+            p
+            if p.streams.shape[1] == target
+            else pack_streams(
+                db, chunk, cfg.nw, win=win, jb=cfg.jb, grain=16,
+                target_len=target,
             )
-            run = _EXEC_CACHE.get(key)
-            if run is None:
-                run = sw_pallas_stream.lower(
-                    p_dev, s_dev, f_dev, go, ge, **kw
-                ).compile()
-                # Warm untimed: the first execution of a freshly loaded
-                # program pays device-side load/finalize (see
-                # pipeline._stream_search).
-                np.asarray(run(p_dev, s_dev, f_dev))
-                _EXEC_CACHE[key] = run
-            work.append((pack, lambda r=run, a=(p_dev, s_dev, f_dev): r(*a)))
-        else:
-            work.append(
-                (
-                    pack,
-                    lambda a=(p_dev, s_dev, f_dev), kw=kw: engine_fn(
-                        *a, go, ge, **kw
-                    ),
+            for p, chunk in zip(packs, chunks)
+        ]
+
+        work = []
+        try:
+            for dev, pack in zip(devices, packs):
+                # fs slot tables are per-shard but shapes agree; pad every
+                # shard's output to the common nslots (extra slots never
+                # flush). Identical shapes mean each device's AOT compile is
+                # a compilation-cache hit (executables are device-bound).
+                s_dev = jax.device_put(pack.streams, dev)
+                f_dev = jax.device_put(pack.fs, dev)
+                p_dev = jax.device_put(np.asarray(profile), dev)
+                jax.block_until_ready([s_dev, f_dev, p_dev])
+                kw = dict(
+                    nslots=nslots, nw=cfg.nw, jb=cfg.jb, ui=cfg.ui,
+                    ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack,
                 )
-            )
+                if engine_fn is None:
+                    from ..pipeline import _EXEC_CACHE
+
+                    key = (
+                        "mdev", str(dev), p_dev.shape, s_dev.shape,
+                        f_dev.shape, int(go), int(ge),
+                        tuple(sorted(kw.items())),
+                    )
+                    run = _EXEC_CACHE.get(key)
+                    if run is None:
+                        run = sw_pallas_stream.lower(
+                            p_dev, s_dev, f_dev, go, ge, **kw
+                        ).compile()
+                        # Warm untimed: the first execution of a freshly
+                        # loaded program pays device-side load/finalize
+                        # (see pipeline._stream_search).
+                        np.asarray(run(p_dev, s_dev, f_dev))
+                        _EXEC_CACHE[key] = run
+                    work.append(
+                        (pack, lambda r=run, a=(p_dev, s_dev, f_dev): r(*a))
+                    )
+                else:
+                    work.append(
+                        (
+                            pack,
+                            lambda a=(p_dev, s_dev, f_dev), kw=kw: engine_fn(
+                                *a, go, ge, **kw
+                            ),
+                        )
+                    )
+        except Exception as ex:
+            if allow_pack and cfg.pack > 1:
+                # Same degrade as the single-chip pipeline: a Mosaic
+                # failure on the packed shape retries pack=1 at the same
+                # window count before anything dies.
+                import sys
+
+                print(
+                    f"Warning: packed stream kernel (pack={cfg.pack}) "
+                    f"compile failed on multi-device path "
+                    f"({type(ex).__name__}: {str(ex)[:160]}); retrying "
+                    "without packed production.",
+                    file=sys.stderr,
+                )
+                continue
+            raise
+        break
 
     t0 = time.perf_counter()
     outs = [run() for _, run in work]  # enqueue on every device first

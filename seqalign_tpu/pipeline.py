@@ -384,6 +384,16 @@ def _stream_search(
         chunk_bounds = [
             (s, min(s + per_chunk, n)) for s in range(0, n, per_chunk)
         ]
+    # |P - go| bound unlocks packed-production shapes (pack>1) where the
+    # biased profile fits the pack level's exact f32 field; the striped
+    # kernel keeps pack=1 (own path). Function-scoped so a packed compile
+    # failure in one chunk disables packing for ALL later chunks instead
+    # of re-paying the doomed compile per chunk.
+    pack_pmax = None
+    if lq <= _MQR:
+        pack_pmax = float(
+            np.max(np.abs(np.asarray(profile, np.float64) - go))
+        ) if profile.size else 0.0
     for start, stop in chunk_bounds:
         chunk = order[start:stop]
         if ckpt is not None:
@@ -427,27 +437,30 @@ def _stream_search(
         run = None
         run_all = None  # one-dispatch scan over all query blocks
         retry_cap = nw_cap
-        # |P - go| bound unlocks packed-production shapes (pack>1) where
-        # the biased profile fits the pack level's exact f32 field; the
-        # striped kernel has no packed path, so striping keeps pack=1.
-        pmax = None
-        if not striped:
-            pmax = float(
-                np.max(np.abs(np.asarray(profile, np.float64) - go))
-            ) if profile.size else 0.0
+        packed_layout = None  # (nw, jb) -> reuse packed streams on retry
         while run is None:
             cfg = choose_config(
                 cfg_lq, reserve=reserve, nq=nq_b, nw_max=retry_cap,
-                max_abs_bias=pmax,
+                max_abs_bias=None if striped else pack_pmax,
             )
             if cfg is None:  # nothing fits VMEM: caller falls back to XLA
                 return None
             nw = cfg.nw
-            pack = pack_streams(db, chunk, nw, win=win, jb=cfg.jb, grain=16)
-            streams_dev = jax.device_put(pack.streams)
-            fs_dev = jax.device_put(pack.fs)
-            prof_devs = [jax.device_put(p) for p in prof_blocks]
-            jax.block_until_ready([streams_dev, fs_dev, prof_devs])
+            if packed_layout and packed_layout[0] == (nw, cfg.jb):
+                # pack-off retry with the same stream layout: skip the
+                # host repack + transfer (identical (nw, jb) geometry).
+                _, pack, streams_dev, fs_dev, prof_devs = packed_layout
+            else:
+                pack = pack_streams(
+                    db, chunk, nw, win=win, jb=cfg.jb, grain=16
+                )
+                streams_dev = jax.device_put(pack.streams)
+                fs_dev = jax.device_put(pack.fs)
+                prof_devs = [jax.device_put(p) for p in prof_blocks]
+                jax.block_until_ready([streams_dev, fs_dev, prof_devs])
+            packed_layout = (
+                (nw, cfg.jb), pack, streams_dev, fs_dev, prof_devs
+            )
 
             try:
                 if striped:
@@ -539,7 +552,9 @@ def _stream_search(
                     # Packed-production compile failure: retry the same
                     # window count with packing off before shrinking nw
                     # (the pack=1 sibling shape is the measured runner-up,
-                    # a smaller nw is much slower).
+                    # a smaller nw is much slower). Function-scoped
+                    # disable: later chunks skip the doomed packed
+                    # compile entirely.
                     print(
                         f"Warning: packed stream kernel (pack={cfg.pack}) "
                         f"compile failed at nw={nw} "
@@ -547,7 +562,7 @@ def _stream_search(
                         "retrying without packed production.",
                         file=sys.stderr,
                     )
-                    pmax = None
+                    pack_pmax = None
                     run = None
                     continue
                 print(

@@ -555,6 +555,70 @@ class TestStreamSearch:
             want, _ = search_encoded(q, encoded, sc, engine="wavefront")
             np.testing.assert_array_equal(got[k], want)
 
+    @pytest.mark.slow
+    def test_scan_of_blocks_single_dispatch(self, rng, blosum62, monkeypatch):
+        """The one-dispatch scan-of-blocks program (run_all): all query
+        blocks scanned inside ONE compiled program, block order preserved.
+        Uses a fake engine with a .lower attribute so the AOT gate opens
+        off-TPU (the plain interpret partial has no .lower and silently
+        skips this path)."""
+        import functools
+
+        import seqalign_tpu.ops.swa_pallas as sp
+        import seqalign_tpu.pipeline as pl
+        from seqalign_tpu.models import encode
+        from seqalign_tpu.ops.swa_xla import make_profile
+        from seqalign_tpu.pipeline import (
+            _db_from_encoded,
+            _stream_search,
+            search_encoded,
+        )
+        from conftest import random_protein
+
+        inner = functools.partial(sp.sw_pallas_stream, interpret=True)
+
+        def fake(*a, **kw):
+            return inner(*a, **kw)
+
+        def lower(prof, streams, fs, go, ge, **kw):
+            class _C:
+                def compile(self):
+                    return lambda p, s, f: fake(p, s, f, go, ge, **kw)
+
+            return _C()
+
+        fake.lower = lower
+        monkeypatch.setattr(sp, "sw_pallas_stream", fake)
+        cache: dict = {}
+        monkeypatch.setattr(pl, "_EXEC_CACHE", cache)
+        monkeypatch.setattr(pl, "_pick_query_block", lambda lq, nq: 2)
+
+        sc = blosum62
+        nq = 5  # 3 blocks of 2 (zero-padded tail block)
+        qs = [
+            sc.query_indices(random_protein(rng, int(rng.integers(5, 12))))
+            for _ in range(nq)
+        ]
+        lqm = max(len(q) for q in qs)
+        profs = np.zeros((nq, lqm, 32), dtype=np.int32)
+        for k, q in enumerate(qs):
+            profs[k, : len(q)] = make_profile(sc.table, q)
+        encoded = [
+            encode(random_protein(rng, int(rng.integers(1, 15))))
+            for _ in range(1200)
+        ]
+        db = _db_from_encoded(encoded)
+        order = np.argsort(-db.lengths, kind="stable")
+        got, _ = _stream_search(
+            profs, db, sc.gap_open_total, sc.gap_extend, order, None
+        )
+        # The scan program actually compiled and served the batch.
+        assert any(k[0] == "scanq" for k in cache)
+        assert got.shape == (nq, 1200)
+        for k, q in enumerate(qs):
+            want, _ = search_encoded(q, encoded, sc, engine="wavefront")
+            np.testing.assert_array_equal(got[k], want)
+
     @pytest.mark.parametrize("n_records", [1, 5, 1023, 1025])
     def test_stream_edge_sizes(self, rng, blosum62, monkeypatch, n_records):
         import functools

@@ -185,7 +185,8 @@ def main() -> int:
     for lq in args.lq or (17, 64, 144, 256, 512):
         base = choose_config(lq, max_abs_bias=18.0)
         print(f"--- lq={lq} (production: {base}) ---", flush=True)
-        run(lq, base)
+        if base is not None:
+            run(lq, base)
         cands = []
         if lq <= 48:
             # short band: full-query fused dot, packed (lqe rounds to
