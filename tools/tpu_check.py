@@ -328,6 +328,46 @@ def check_paths(rng) -> int:
         ok = bool((scatter(out, packm, k) == wantk).all())
         print(f"multiquery q{k} lq=33 {cfgm}: exact={ok}")
         fails += not ok
+
+    # 4) scan-of-blocks one-dispatch batch (the production multi-record
+    # query path): blocks of one scanned inside ONE compiled program.
+    from seqalign_tpu.pipeline import _stream_search
+
+    got, _ = _stream_search(profs, db, go, ge, order, None)
+    for k in range(nq):
+        wantk = np.asarray(sw_wavefront(profs[k], flat, go, ge))
+        ok = bool((got[k] == wantk).all())
+        print(f"scan-of-blocks q{k} lq=33: exact={ok}")
+        fails += not ok
+
+    # 5) striped kernel with packed fused production (round-3 plumbing)
+    pmaxl = float(np.max(np.abs(profl.astype(np.float64) - go)))
+    if pmaxl <= 31.0:
+        out = np.asarray(
+            sw_pallas_stream_striped(
+                profl, packs.streams, packs.fs, go, ge,
+                nslots=len(packs.slot_ids), nw=cfgs.nw, jb=cfgs.jb,
+                ui=cfgs.ui, ic=192, stripe_rows=192, pipe=6, pack=4,
+            )
+        )
+        ok = bool((scatter(out, packs) == wantl).all())
+        print(f"striped+packed lq=700 pipe=6 pack=4: exact={ok}")
+        fails += not ok
+
+    # 6) signed-field round unpacking (upk=round)
+    from seqalign_tpu.ops.swa_pallas import sw_pallas_windows as spw
+
+    dbw = rng.integers(1, 27, (2, 64, 1024)).astype(np.int32)
+    outr = np.asarray(
+        spw(prof, dbw, go, ge, nw=2, jb=4, ui=16, ic=144, pipe=6,
+            pack=4, upk="round")
+    )
+    wantr = np.concatenate(
+        [np.asarray(sw_wavefront(prof, dbw[w], go, ge)) for w in range(2)]
+    )
+    ok = bool((outr == wantr).all())
+    print(f"upk=round lq=144 pack=4: exact={ok}")
+    fails += not ok
     return fails
 
 
