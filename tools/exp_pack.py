@@ -17,6 +17,7 @@ Usage (TPU host):  python tools/exp_pack.py [--lq 17 144 ...] [--lb 2048]
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -57,6 +58,13 @@ def main() -> int:
 
     import jax
     import jax.numpy as jnp
+
+    # SEQALIGN_PLATFORM=cpu must beat the eagerly-registered TPU plugin
+    # (env JAX_PLATFORMS loses to it) so dry-runs exit SKIP instead of
+    # hanging on a dead tunnel; same config-API route as the CLI.
+    plat = os.environ.get("SEQALIGN_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     if jax.default_backend() != "tpu":
         print("SKIP: no TPU backend")

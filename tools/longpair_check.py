@@ -17,6 +17,7 @@ Usage (TPU host): python tools/longpair_check.py [--lq 35000 100000] [--lb 256]
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -44,6 +45,13 @@ def main() -> int:
     _enable_compile_cache()
 
     import jax
+
+    # SEQALIGN_PLATFORM=cpu must beat the eagerly-registered TPU plugin
+    # (env JAX_PLATFORMS loses to it) so dry-runs exit SKIP instead of
+    # hanging on a dead tunnel; same config-API route as the CLI.
+    plat = os.environ.get("SEQALIGN_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     if jax.default_backend() != "tpu":
         print("SKIP: no TPU backend")

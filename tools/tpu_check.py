@@ -15,6 +15,7 @@ remains).
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -87,6 +88,14 @@ def main() -> int:
     _enable_compile_cache()
 
     import jax
+
+    # SEQALIGN_PLATFORM=cpu must beat the eagerly-registered TPU plugin
+    # (env JAX_PLATFORMS loses to it); same config-API route as the CLI.
+    # Without this, a dead tunnel HANGS the backend probe below instead of
+    # letting a CPU dry-run exit with SKIP.
+    plat = os.environ.get("SEQALIGN_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     if jax.default_backend() != "tpu":
         print("SKIP: no TPU backend")
