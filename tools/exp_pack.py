@@ -66,9 +66,23 @@ def main() -> int:
     if plat:
         jax.config.update("jax_platforms", plat)
 
-    if jax.default_backend() != "tpu":
+    # SEQALIGN_TOOLS_INTERPRET=1 (with SEQALIGN_PLATFORM=cpu) runs the
+    # exact tool body in Pallas interpret mode: a CPU pre-flight that
+    # catches tool bugs before they burn TPU tunnel compile time. Timing
+    # output is meaningless there; the exactness checks are the point.
+    interp = os.environ.get("SEQALIGN_TOOLS_INTERPRET") == "1"
+    if not interp and jax.default_backend() != "tpu":
         print("SKIP: no TPU backend")
         return 0
+    if interp:
+        import functools
+
+        import seqalign_tpu.ops.swa_pallas as _sp
+
+        for _n in ("sw_pallas_stream", "sw_pallas_stream_striped",
+                   "sw_pallas_windows"):
+            setattr(_sp, _n, functools.partial(getattr(_sp, _n),
+                                               interpret=True))
 
     from seqalign_tpu.ops.swa_pallas import (
         KernelConfig,

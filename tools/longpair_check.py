@@ -29,7 +29,10 @@ import numpy as np
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--lq", type=int, nargs="*", default=[35_000, 100_000])
-    parser.add_argument("--lb", type=int, default=256)
+    # 1024 positions x nw=2 windows x 1024 lanes ~ 2M residues: one scan is
+    # ~0.35 s device time at lq=35k, so the single 28 ms fetch RTT is <10%
+    # of the measurement (at the old 256 it was ~25%).
+    parser.add_argument("--lb", type=int, default=1024)
     parser.add_argument("--nw", type=int, default=2)
     parser.add_argument("--verify-rows", type=int, default=1200,
                         help="also verify a >1-stripe query vs wavefront")
@@ -38,6 +41,9 @@ def main() -> int:
     parser.add_argument("--ic", type=int, default=0,
                         help="S-chunk rows (0 = ui; use 512 with --pipe 6 "
                         "for full-stripe fused dots)")
+    parser.add_argument("--stripe-rows", type=int, default=512,
+                        help="query rows per stripe pass (small values "
+                        "make the CPU interpret pre-flight traceable)")
     args = parser.parse_args()
 
     from seqalign_tpu.pipeline import _enable_compile_cache
@@ -53,9 +59,23 @@ def main() -> int:
     if plat:
         jax.config.update("jax_platforms", plat)
 
-    if jax.default_backend() != "tpu":
+    # SEQALIGN_TOOLS_INTERPRET=1 (with SEQALIGN_PLATFORM=cpu) runs the
+    # exact tool body in Pallas interpret mode: a CPU pre-flight that
+    # catches tool bugs before they burn TPU tunnel compile time. Timing
+    # output is meaningless there; the exactness checks are the point.
+    interp = os.environ.get("SEQALIGN_TOOLS_INTERPRET") == "1"
+    if not interp and jax.default_backend() != "tpu":
         print("SKIP: no TPU backend")
         return 0
+    if interp:
+        import functools
+
+        import seqalign_tpu.ops.swa_pallas as _sp
+
+        for _n in ("sw_pallas_stream", "sw_pallas_stream_striped",
+                   "sw_pallas_windows"):
+            setattr(_sp, _n, functools.partial(getattr(_sp, _n),
+                                               interpret=True))
 
     from seqalign_tpu.ops.swa_pallas import (
         choose_config,
@@ -66,9 +86,10 @@ def main() -> int:
     rng = np.random.default_rng(31)
     lb, nw = args.lb, args.nw
     cpu = jax.devices("cpu")[0]
-    cfg = choose_config(512, nw_max=nw)  # stripes are 512-row queries
+    cfg = choose_config(args.stripe_rows, nw_max=nw)
     kw = dict(nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=args.ic or cfg.ui,
-              pipe=args.pipe, pack=args.pack)
+              pipe=args.pipe, pack=args.pack,
+              stripe_rows=args.stripe_rows)
 
     def streams_for(n_positions):
         streams = rng.integers(1, 27, (nw, n_positions, 1024)).astype(np.int32)
@@ -113,14 +134,19 @@ def main() -> int:
         t0 = time.time()
         scan()  # compile + program loads + warm (untimed)
         warm_s = time.time() - t0
-        t0 = time.perf_counter()
-        scan()
-        dt = time.perf_counter() - t0
+
+        def one():
+            t0 = time.perf_counter()
+            scan()
+            return time.perf_counter() - t0
+
+        dt = min(one() for _ in range(2))  # run-to-run spread is ±6-10%
         cells = lq * lb * nw * 1024
         print(
             f"longpair lq={lq}: {cells/dt/1e9:6.1f} GCUPS wall "
             f"({dt:.2f}s, {lq * lb * nw * 1024 / 1e9:.1f} Gcell, "
-            f"{-(-lq // 512)} stripe passes, warm {warm_s:.0f}s)",
+            f"{-(-lq // args.stripe_rows)} stripe passes, "
+            f"warm {warm_s:.0f}s)",
             flush=True,
         )
     return 0

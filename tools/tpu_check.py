@@ -97,9 +97,23 @@ def main() -> int:
     if plat:
         jax.config.update("jax_platforms", plat)
 
-    if jax.default_backend() != "tpu":
+    # SEQALIGN_TOOLS_INTERPRET=1 (with SEQALIGN_PLATFORM=cpu) runs the
+    # exact tool body in Pallas interpret mode: a CPU pre-flight that
+    # catches tool bugs before they burn TPU tunnel compile time. Timing
+    # output is meaningless there; the exactness checks are the point.
+    interp = os.environ.get("SEQALIGN_TOOLS_INTERPRET") == "1"
+    if not interp and jax.default_backend() != "tpu":
         print("SKIP: no TPU backend")
         return 0
+    if interp:
+        import functools
+
+        import seqalign_tpu.ops.swa_pallas as _sp
+
+        for _n in ("sw_pallas_stream", "sw_pallas_stream_striped",
+                   "sw_pallas_windows"):
+            setattr(_sp, _n, functools.partial(getattr(_sp, _n),
+                                               interpret=True))
 
     from seqalign_tpu.ops.swa_pallas import (
         KernelConfig,
@@ -263,7 +277,9 @@ def check_paths(rng) -> int:
         ScoringModel(gap_open=-2, gap_extend=-1, use_match_mismatch=False),
     )
     go, ge = sc.gap_open_total, sc.gap_extend
-    n = 6000
+    # SEQALIGN_PATHS_N shrinks the database for the CPU interpret
+    # pre-flight (full-size interpret runs take an hour+).
+    n = int(os.environ.get("SEQALIGN_PATHS_N", "6000"))
     encoded = [
         aa20[rng.integers(0, 20, int(L))]
         for L in np.clip(rng.gamma(1.8, 60.0, n).astype(np.int64), 1, 800)
