@@ -13,14 +13,30 @@
 //    (reference src/alignment_scoring.c:70-81).
 //  - pack_batch fills a '*'-padded (lb_pad, lanes) int8 buffer position-major
 //    (db[pos * lanes + lane]), the reference's lane-major layout scaled up.
+//
+// Performance notes (the TPU kernel consumes >1 Gres/s, so host ingest must
+// not be the pipeline's long pole):
+//  - Plain files are read with one sized fread (gzip detected by magic and
+//    routed through zlib); the encode pass writes through a raw pointer into
+//    a single pre-sized buffer instead of per-byte vector growth.
+//  - pack writes are tiled: a position-major store stream has stride `lanes`
+//    (= 1024 on TPU), i.e. one cache line touched per byte if written
+//    directly. Records are instead gathered into an L1-resident tile and the
+//    tile's rows are flushed with contiguous copies, keeping every DRAM
+//    access sequential.
 
 #include <zlib.h>
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
 #include <vector>
+
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -44,8 +60,7 @@ struct ParseResult {
   int64_t n = 0;
 };
 
-// Reads the whole (possibly gzipped) file; zlib transparently handles both.
-bool read_all(const char* path, std::string* out) {
+bool read_all_gz(const char* path, std::string* out) {
   gzFile f = gzopen(path, "rb");
   if (f == nullptr) return false;
   gzbuffer(f, 1 << 20);
@@ -57,6 +72,100 @@ bool read_all(const char* path, std::string* out) {
   return ok;
 }
 
+// Reads the whole file. Gzip (magic 1f 8b) goes through zlib; plain files
+// are read with a single sized fread (falling back to chunked reads for
+// non-seekable inputs such as pipes).
+bool read_all(const char* path, std::string* out) {
+  FILE* f = fopen(path, "rb");
+  if (f == nullptr) return false;
+  unsigned char magic[2];
+  const size_t m = fread(magic, 1, 2, f);
+  if (m == 2 && magic[0] == 0x1f && magic[1] == 0x8b) {
+    fclose(f);
+    return read_all_gz(path, out);
+  }
+  out->append(reinterpret_cast<char*>(magic), m);
+  long size = -1;
+  if (fseek(f, 0, SEEK_END) == 0) {
+    size = ftell(f);
+    if (fseek(f, static_cast<long>(m), SEEK_SET) != 0) size = -1;
+  }
+  bool ok = true;
+  if (size >= 0) {
+    const size_t body = static_cast<size_t>(size) - m;
+    const size_t base = out->size();
+    out->resize(base + body);
+    ok = fread(&(*out)[base], 1, body, f) == body;
+  } else {  // non-seekable: chunked append
+    char buf[1 << 20];
+    size_t n;
+    while ((n = fread(buf, 1, sizeof(buf), f)) > 0) out->append(buf, n);
+    ok = !ferror(f);
+  }
+  fclose(f);
+  return ok;
+}
+
+// Scalar reference encode for a [i, eol) span (skipping '\r'/' '/'\t').
+inline bool encode_span_scalar(const char* data, size_t i, size_t eol,
+                               int8_t** wp) {
+  int8_t* w = *wp;
+  for (size_t k = i; k < eol; ++k) {
+    const unsigned char c = data[k];
+    if (c == '\r' || c == ' ' || c == '\t') continue;
+    const int8_t e = encode_lut[c];
+    if (e < 0) return false;
+    *w++ = e;
+  }
+  *wp = w;
+  return true;
+}
+
+// Encodes [i, eol) into *wp (skipping '\r'/' '/'\t'), advancing both.
+// Returns false on an illegal character.
+//
+// AVX2 fast path: letters encode as c & 31 ('A'/'a' -> 1 ... 'Z'/'z' -> 26)
+// and '*' -> 31, so a 32-byte chunk of pure letters/stars is one load, a
+// range test, a mask-blend, and one store. Chunks containing whitespace (to
+// be dropped) or anything unrecognized (a fatal parse error) take the scalar
+// path, which preserves exact error semantics.
+inline bool encode_span(const char* data, size_t i, size_t eol, int8_t** wp) {
+#ifdef __AVX2__
+  int8_t* w = *wp;
+  const __m256i lower_bit = _mm256_set1_epi8(0x20);
+  const __m256i below_a = _mm256_set1_epi8('a' - 1);
+  const __m256i above_z = _mm256_set1_epi8('z' + 1);
+  const __m256i star = _mm256_set1_epi8('*');
+  const __m256i mask31 = _mm256_set1_epi8(31);
+  while (i + 32 <= eol) {
+    const __m256i v =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(data + i));
+    const __m256i lo = _mm256_or_si256(v, lower_bit);
+    const __m256i letter = _mm256_and_si256(
+        _mm256_cmpgt_epi8(lo, below_a), _mm256_cmpgt_epi8(above_z, lo));
+    const __m256i is_star = _mm256_cmpeq_epi8(v, star);
+    const unsigned ok = static_cast<unsigned>(
+        _mm256_movemask_epi8(_mm256_or_si256(letter, is_star)));
+    if (ok != 0xFFFFFFFFu) {
+      // Whitespace or an illegal character somewhere in the chunk.
+      if (!encode_span_scalar(data, i, i + 32, &w)) return false;
+      i += 32;
+      continue;
+    }
+    // letter -> c & 31, star -> 31.
+    const __m256i enc = _mm256_blendv_epi8(
+        mask31, _mm256_and_si256(v, mask31), letter);
+    _mm256_storeu_si256(reinterpret_cast<__m256i*>(w), enc);
+    w += 32;
+    i += 32;
+  }
+  *wp = w;
+  return encode_span_scalar(data, i, eol, wp);
+#else
+  return encode_span_scalar(data, i, eol, wp);
+#endif
+}
+
 // Returns 0 ok, -1 io error, -2 illegal character, -3 bad format.
 int parse(const char* path, ParseResult* res) {
   std::string data;
@@ -64,9 +173,17 @@ int parse(const char* path, ParseResult* res) {
   res->offsets.push_back(0);
   size_t i = 0;
   const size_t n = data.size();
+  // Every residue comes from the file, so the file size bounds the encoded
+  // length; one allocation + raw-pointer writes replace per-byte growth.
+  res->seq.resize(n);
+  int8_t* wp = res->seq.data();
+  const int8_t* const seq_base = wp;
   // Skip leading blank lines.
   while (i < n && (data[i] == '\n' || data[i] == '\r' || data[i] == ' ')) ++i;
-  if (i >= n) return 0;  // empty file -> zero records
+  if (i >= n) {
+    res->seq.clear();
+    return 0;  // empty file -> zero records
+  }
   const char marker = data[i];
   if (marker != '>' && marker != '@') return -3;
   const bool fastq = marker == '@';
@@ -83,13 +200,7 @@ int parse(const char* path, ParseResult* res) {
     if (fastq) {
       size_t seq_eol = data.find('\n', i);
       if (seq_eol == std::string::npos) seq_eol = n;
-      for (size_t k = i; k < seq_eol; ++k) {
-        const unsigned char c = data[k];
-        if (c == '\r' || c == ' ' || c == '\t') continue;
-        const int8_t e = encode_lut[c];
-        if (e < 0) return -2;
-        res->seq.push_back(e);
-      }
+      if (!encode_span(data.data(), i, seq_eol, &wp)) return -2;
       i = seq_eol + 1;
       // '+' line and quality line.
       size_t plus_eol = data.find('\n', i);
@@ -102,19 +213,14 @@ int parse(const char* path, ParseResult* res) {
       while (i < n && data[i] != marker) {
         size_t line_eol = data.find('\n', i);
         if (line_eol == std::string::npos) line_eol = n;
-        for (size_t k = i; k < line_eol; ++k) {
-          const unsigned char c = data[k];
-          if (c == '\r' || c == ' ' || c == '\t') continue;
-          const int8_t e = encode_lut[c];
-          if (e < 0) return -2;
-          res->seq.push_back(e);
-        }
+        if (!encode_span(data.data(), i, line_eol, &wp)) return -2;
         i = line_eol + 1;
       }
     }
-    res->offsets.push_back(static_cast<int64_t>(res->seq.size()));
+    res->offsets.push_back(static_cast<int64_t>(wp - seq_base));
     res->n += 1;
   }
+  res->seq.resize(wp - seq_base);
   return 0;
 }
 
@@ -154,20 +260,114 @@ void fastio_fetch(void* handle, int8_t* seq_out, int64_t* offsets_out,
 
 void fastio_free(void* handle) { delete static_cast<ParseResult*>(handle); }
 
+#ifdef __SSE2__
+// Transposes 16 rows of 16 bytes (classic unpack network; output rows come
+// out in natural order — verified by tests/test_native_io.py round-trips).
+static inline void tr16x16(const __m128i r[16], __m128i out[16]) {
+  __m128i t[16], u[16], v[16];
+  for (int k = 0; k < 8; ++k) {
+    t[2 * k] = _mm_unpacklo_epi8(r[2 * k], r[2 * k + 1]);
+    t[2 * k + 1] = _mm_unpackhi_epi8(r[2 * k], r[2 * k + 1]);
+  }
+  for (int k = 0; k < 4; ++k) {
+    u[4 * k] = _mm_unpacklo_epi16(t[4 * k], t[4 * k + 2]);
+    u[4 * k + 1] = _mm_unpackhi_epi16(t[4 * k], t[4 * k + 2]);
+    u[4 * k + 2] = _mm_unpacklo_epi16(t[4 * k + 1], t[4 * k + 3]);
+    u[4 * k + 3] = _mm_unpackhi_epi16(t[4 * k + 1], t[4 * k + 3]);
+  }
+  for (int k = 0; k < 2; ++k) {
+    for (int j = 0; j < 4; ++j) {
+      v[8 * k + 2 * j] = _mm_unpacklo_epi32(u[8 * k + j], u[8 * k + j + 4]);
+      v[8 * k + 2 * j + 1] = _mm_unpackhi_epi32(u[8 * k + j], u[8 * k + j + 4]);
+    }
+  }
+  for (int j = 0; j < 8; ++j) {
+    out[2 * j] = _mm_unpacklo_epi64(v[j], v[j + 8]);
+    out[2 * j + 1] = _mm_unpackhi_epi64(v[j], v[j + 8]);
+  }
+}
+#endif
+
 // Packs the records selected by `order` (n_sel indices) into a '*'-padded
 // position-major batch: out[pos * lanes + lane]. out must hold
 // lb_pad * lanes bytes and is fully overwritten.
+//
+// Tiled layout transform: a direct write stream has stride `lanes`, touching
+// a fresh cache line per byte. Instead each (kTileP positions x kTileL lanes)
+// tile is gathered in L1 and flushed row-by-row with contiguous writes.
+// Tiles past every record's end in a lane group are skipped — the upfront
+// memset already left them '*'. The gather itself runs 16 lanes x 16
+// positions at a time through a register transpose where all 16 records
+// cover the position window (the caller feeds length-sorted lanes, so nearly
+// always); ragged edges fall back to byte stores.
 void fastio_pack(const int8_t* seq, const int64_t* offsets,
                  const int64_t* order, int64_t n_sel, int64_t lanes,
                  int64_t lb_pad, int8_t* out) {
+  constexpr int64_t kTileP = 64;
+  constexpr int64_t kTileL = 128;  // 8 KiB tile, L1-resident
   memset(out, kPad, static_cast<size_t>(lb_pad) * lanes);
-  for (int64_t lane = 0; lane < n_sel; ++lane) {
-    const int64_t rec = order[lane];
-    const int64_t beg = offsets[rec];
-    const int64_t len = offsets[rec + 1] - beg;
-    const int8_t* src = seq + beg;
-    int8_t* dst = out + lane;
-    for (int64_t p = 0; p < len; ++p) dst[p * lanes] = src[p];
+  int8_t tile[kTileP * kTileL];
+  for (int64_t l0 = 0; l0 < n_sel; l0 += kTileL) {
+    const int64_t lw = n_sel - l0 < kTileL ? n_sel - l0 : kTileL;
+    int64_t group_max = 0;
+    for (int64_t t = 0; t < lw; ++t) {
+      const int64_t rec = order[l0 + t];
+      const int64_t len = offsets[rec + 1] - offsets[rec];
+      if (len > group_max) group_max = len;
+    }
+    if (group_max > lb_pad) group_max = lb_pad;
+    for (int64_t p0 = 0; p0 < group_max; p0 += kTileP) {
+      const int64_t pw = group_max - p0 < kTileP ? group_max - p0 : kTileP;
+      memset(tile, kPad, sizeof(tile));
+      int64_t ts = 0;
+#ifdef __SSE2__
+      for (; ts + 16 <= lw; ts += 16) {
+        const int8_t* src[16];
+        int64_t minlen = pw;  // fast-path extent shared by all 16 lanes
+        int64_t len16[16];
+        for (int j = 0; j < 16; ++j) {
+          const int64_t rec = order[l0 + ts + j];
+          const int64_t beg = offsets[rec];
+          int64_t len = offsets[rec + 1] - beg - p0;
+          if (len < 0) len = 0;
+          if (len > pw) len = pw;
+          len16[j] = len;
+          if (len < minlen) minlen = len;
+          src[j] = seq + beg + p0;
+        }
+        const int64_t fast = minlen & ~int64_t(15);
+        for (int64_t pc = 0; pc < fast; pc += 16) {
+          __m128i r[16], o[16];
+          for (int j = 0; j < 16; ++j)
+            r[j] = _mm_loadu_si128(
+                reinterpret_cast<const __m128i*>(src[j] + pc));
+          tr16x16(r, o);
+          for (int j = 0; j < 16; ++j)
+            _mm_storeu_si128(
+                reinterpret_cast<__m128i*>(tile + (pc + j) * kTileL + ts),
+                o[j]);
+        }
+        for (int j = 0; j < 16; ++j) {  // ragged tails, byte stores
+          int8_t* col = tile + ts + j;
+          for (int64_t p = fast; p < len16[j]; ++p)
+            col[p * kTileL] = src[j][p];
+        }
+      }
+#endif
+      for (; ts < lw; ++ts) {
+        const int64_t rec = order[l0 + ts];
+        const int64_t beg = offsets[rec];
+        int64_t len = offsets[rec + 1] - beg - p0;
+        if (len <= 0) continue;
+        if (len > pw) len = pw;
+        const int8_t* src = seq + beg + p0;
+        int8_t* col = tile + ts;
+        for (int64_t p = 0; p < len; ++p) col[p * kTileL] = src[p];
+      }
+      int8_t* dst = out + p0 * lanes + l0;
+      for (int64_t p = 0; p < pw; ++p)
+        memcpy(dst + p * lanes, tile + p * kTileL, lw);
+    }
   }
 }
 

@@ -140,10 +140,26 @@ def _parse_file_python(path: str) -> EncodedDatabase:
 
 
 def pack_batch(
-    db: EncodedDatabase, order: np.ndarray, lanes: int, lb_pad: int
+    db: EncodedDatabase,
+    order: np.ndarray,
+    lanes: int,
+    lb_pad: int,
+    out: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Pack the records selected by ``order`` into a (lb_pad, lanes) batch."""
-    out = np.empty((lb_pad, lanes), dtype=np.int8)
+    """Pack the records selected by ``order`` into a (lb_pad, lanes) batch.
+
+    ``out`` may supply a preallocated C-contiguous int8 destination of shape
+    (lb_pad, lanes) — e.g. a view into a larger stream buffer — to skip the
+    intermediate copy; it is fully overwritten (including '*' padding).
+    """
+    if out is None:
+        out = np.empty((lb_pad, lanes), dtype=np.int8)
+    elif (
+        out.shape != (lb_pad, lanes)
+        or out.dtype != np.int8
+        or not out.flags.c_contiguous
+    ):
+        raise ValueError("out must be a C-contiguous int8 (lb_pad, lanes) array")
     lib = _load()
     order = np.ascontiguousarray(order, dtype=np.int64)
     if lib is None:

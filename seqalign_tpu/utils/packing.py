@@ -173,8 +173,9 @@ def pack_streams(
             if k > 0:
                 # A new segment starts at this block: flush the previous one.
                 fs[off // jb, w, 0] = placement[w][k - 1] + 1
-            streams[w, off : off + slot_lb[s]] = pack_batch(
-                db, slot_ids[s], win, slot_lb[s]
+            pack_batch(
+                db, slot_ids[s], win, slot_lb[s],
+                out=streams[w, off : off + slot_lb[s]],
             )
             off += slot_lb[s]
         if placement[w]:

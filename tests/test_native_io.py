@@ -94,3 +94,53 @@ class TestNativePack:
             nio._lib = lib
         np.testing.assert_array_equal(got, want)
         assert (got[lb_pad - 1] == PAD_INDEX).all()
+
+    def test_pack_wide_ragged(self, tmp_path, rng):
+        """Exercise the tiled/SIMD pack: >128 lanes, ragged 16-lane groups.
+
+        Covers every boundary of the fast path: full 16x16 transposed
+        blocks, ragged per-lane tails, partial lane groups (lanes not a
+        multiple of 16), and empty trailing lanes.
+        """
+        p = tmp_path / "wide.fa"
+        lens = [int(rng.integers(1, 300)) for _ in range(310)]
+        with open(p, "w") as f:
+            for k, L in enumerate(lens):
+                f.write(f">r{k}\n{random_protein(rng, L)}\n")
+        db = native_io.parse_file(str(p))
+        order = np.argsort(-db.lengths, kind="stable")
+        lanes, lb_pad = 384, int(db.lengths.max()) + 3
+        got = native_io.pack_batch(db, order, lanes=lanes, lb_pad=lb_pad)
+        want = np.full((lb_pad, lanes), PAD_INDEX, dtype=np.int8)
+        for lane, rec in enumerate(order):
+            r = db.record(int(rec))
+            want[: len(r), lane] = r
+        np.testing.assert_array_equal(got, want)
+
+    def test_pack_into_out_view(self, fasta_file, rng):
+        """out= writes into a view of a larger stream buffer in place."""
+        db = native_io.parse_file(fasta_file)
+        order = np.argsort(-db.lengths, kind="stable")[:8]
+        lb_pad = int(db.lengths.max()) + 1
+        big = np.full((3, lb_pad + 10, 8), 99, dtype=np.int8)
+        view = big[1, 4 : 4 + lb_pad]
+        ret = native_io.pack_batch(db, order, lanes=8, lb_pad=lb_pad, out=view)
+        assert ret is view
+        direct = native_io.pack_batch(db, order, lanes=8, lb_pad=lb_pad)
+        np.testing.assert_array_equal(view, direct)
+        assert (big[0] == 99).all() and (big[2] == 99).all()
+        assert (big[1, :4] == 99).all() and (big[1, 4 + lb_pad :] == 99).all()
+
+    def test_pack_bad_out(self, fasta_file):
+        db = native_io.parse_file(fasta_file)
+        order = np.arange(4)
+        with pytest.raises(ValueError):
+            native_io.pack_batch(
+                db, order, lanes=8, lb_pad=16,
+                out=np.empty((16, 8), dtype=np.int32),
+            )
+        with pytest.raises(ValueError):
+            native_io.pack_batch(
+                db, order, lanes=8, lb_pad=16,
+                out=np.empty((8, 16), dtype=np.int8).T,
+            )
