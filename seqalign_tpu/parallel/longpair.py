@@ -45,13 +45,19 @@ def sw_longpair(
     mesh: Mesh,
     jb: int = 128,
     axis: str | None = None,
+    data_axis: str | None = None,
 ) -> jax.Array:
     """Score one (long) query against ``db`` lanes, query rows sharded.
 
     Args:
       profile: (Lq, 32) int query profile (``make_profile``).
       db: (Lb, B) int database lanes, '*'-padded.
-      mesh: 1-D mesh whose axis ``axis`` shards the query rows.
+      mesh: mesh whose axis ``axis`` shards the query rows (sequence
+        parallel). With a 2-D mesh, ``data_axis`` additionally shards the
+        database lanes (data parallel): each data-axis slice runs its own
+        seq-axis wavefront pipeline over its lane shard, and the boundary
+        ``ppermute`` rides only the ``axis`` subgroups, so the two kinds of
+        parallelism compose without any cross-axis collective.
       jb: db positions per pipeline block (ICI message granularity).
 
     Returns (B,) int32 best local-alignment scores — identical to the
@@ -65,29 +71,40 @@ def sw_longpair(
 
     if axis is None:
         axis = mesh.axis_names[0]
-    d_count = mesh.devices.size
+    seq_count = mesh.shape[axis]
+    data_count = mesh.shape[data_axis] if data_axis is not None else 1
+    if seq_count * data_count != mesh.devices.size:
+        raise ValueError(
+            f"mesh axes {axis!r}/{data_axis!r} must cover all "
+            f"{mesh.devices.size} devices"
+        )
     lq = profile.shape[0]
-    rows = -(-lq // d_count)
-    prof = np.zeros((rows * d_count, 32), dtype=np.int32)
+    rows = -(-lq // seq_count)
+    prof = np.zeros((rows * seq_count, 32), dtype=np.int32)
     prof[:lq] = np.asarray(profile, dtype=np.int32)
     lb, b = db.shape
     lb_pad = -(-lb // jb) * jb
-    dbp = np.full((lb_pad, b), PAD_INDEX, dtype=np.int32)
-    dbp[:lb] = np.asarray(db, dtype=np.int32)
+    b_pad = -(-b // data_count) * data_count
+    dbp = np.full((lb_pad, b_pad), PAD_INDEX, dtype=np.int32)
+    dbp[:lb, :b] = np.asarray(db, dtype=np.int32)
     n_blocks = lb_pad // jb
-    steps = n_blocks + d_count - 1
+    steps = n_blocks + seq_count - 1
     go_i = jnp.int32(go)
     ge_i = jnp.int32(ge)
+    d_count = seq_count
+    db_spec = P(None, data_axis) if data_axis is not None else P(None, None)
+    out_spec = P(data_axis) if data_axis is not None else P()
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis, None), P(None, None)),
-        out_specs=P(),
+        in_specs=(P(axis, None), db_spec),
+        out_specs=out_spec,
         check_vma=False,
     )
     def _run(prof_stripe, db_all):
         r = prof_stripe.shape[0]
+        b = db_all.shape[1]  # local lane shard width
         rank = jax.lax.axis_index(axis)
 
         def row_step(rcarry, rx):
@@ -154,5 +171,6 @@ def sw_longpair(
         return jax.lax.pmax(best, axis)
 
     prof_dev = jax.device_put(prof, NamedSharding(mesh, P(axis, None)))
-    db_dev = jax.device_put(dbp, NamedSharding(mesh, P(None, None)))
-    return jax.jit(_run)(prof_dev, db_dev)
+    db_dev = jax.device_put(dbp, NamedSharding(mesh, db_spec))
+    out = jax.jit(_run)(prof_dev, db_dev)
+    return out[:b] if b_pad != b else out

@@ -168,6 +168,40 @@ class TestLongPair:
             )
             np.testing.assert_array_equal(got, want)
 
+    def test_2d_mesh_data_by_seq(self, rng, blosum62):
+        """dp x sp composition: lanes sharded over 'data', query rows over
+        'seq'; each data slice runs its own wavefront pipeline and the
+        boundary ppermute rides only the seq subgroups."""
+        import jax
+        from jax.sharding import Mesh
+
+        from seqalign_tpu.ops.swa_xla import make_profile, sw_wavefront
+        from seqalign_tpu.parallel.longpair import sw_longpair
+        from conftest import random_protein
+
+        sc = blosum62
+        devs = np.array(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devs, ("data", "seq"))
+        for lq, lb, b, jb in [(100, 333, 16, 32), (50, 200, 13, 64)]:
+            q = sc.query_indices(random_protein(rng, lq))
+            prof = make_profile(sc.table, q)
+            db = np.full((lb, b), 31, dtype=np.int32)
+            for lane in range(b):
+                s = sc.query_indices(
+                    random_protein(rng, int(rng.integers(1, lb)))
+                )
+                db[: len(s), lane] = s
+            got = np.asarray(
+                sw_longpair(
+                    prof, db, sc.gap_open_total, sc.gap_extend, mesh,
+                    jb=jb, axis="seq", data_axis="data",
+                )
+            )
+            want = np.asarray(
+                sw_wavefront(prof, db, sc.gap_open_total, sc.gap_extend)
+            )
+            np.testing.assert_array_equal(got, want)
+
     def test_single_device_mesh(self, rng, blosum62):
         """Degenerate 1-device mesh: the pipeline reduces to plain blocks."""
         import jax
