@@ -799,6 +799,32 @@ def test_benchmark_harness_smoke(tmp_path):
     assert "wavefront" in out and "entries/s" in out
 
 
+def test_ingest_bench_smoke():
+    """tools/ingest_bench.py emits parseable per-stage JSON rates."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [
+            sys.executable, str(repo / "tools/ingest_bench.py"),
+            "--records", "2000", "--reps", "1",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        env=dict(os.environ),
+        check=True,
+    ).stdout
+    lines = [json.loads(ln) for ln in out.splitlines() if ln.strip()]
+    metrics = {d["metric"] for d in lines}
+    assert {"host_parse", "host_pack", "host_ingest"} <= metrics
+    assert all(d["value"] > 0 and d["unit"] == "Mres/s" for d in lines)
+
+
 def test_streaming_search_matches(tmp_path, rng, blosum62):
     """Chunked streaming search == one-shot search, bounded memory."""
     from seqalign_tpu.pipeline import search_files, search_files_streaming
