@@ -115,3 +115,56 @@ def test_fuzz_stream_kernel(trial):
             query, encoded[k].astype(np.int32), table, gap_open, ge
         )
         assert scores[k] == want, (trial, k, scores[k], want)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_packed_config_lattice(trial):
+    """Round-3 S-production axes: (nq, pipe, pack, upk, ic) vs the oracle.
+
+    Random scoring systems stay within |P - go| <= 24, inside every
+    PACK_BOUNDS level, so all packed variants must be bit-exact. Covers
+    the fused-dot pipes (5/6), both unpack modes, multi-query row
+    stacking, and non-default dot heights through sw_pallas_windows in
+    interpret mode.
+    """
+    rng = np.random.default_rng(4000 + trial)
+    table, go, ge, gap_open = random_system(rng)
+    nq = int(rng.choice([1, 2]))
+    lq = int(rng.integers(1, 36))
+    queries = [rng.integers(1, 32, lq).astype(np.int32) for _ in range(nq)]
+    profile = np.stack([table[q] for q in queries])
+    if nq == 1:
+        profile = profile[0]
+    n = int(rng.integers(1, 40))
+    lens = [int(rng.integers(0, 50)) for _ in range(n)]
+    jb = int(rng.choice([2, 4]))
+    lb = max(max(lens), jb)
+    lb += (-lb) % jb
+    db = np.full((lb, 1024), PAD_INDEX, dtype=np.int32)
+    seqs = []
+    for k, L in enumerate(lens):
+        s = rng.integers(1, 32, L).astype(np.int32)
+        seqs.append(s)
+        db[:L, k] = s
+    # pack > 1 is only defined for the merged-sublane fused-dot mode.
+    pipe, pack = [(0, 1), (5, 1), (6, 1), (6, 2), (6, 4)][
+        int(rng.integers(0, 5))
+    ]
+    upk = str(rng.choice(["floor", "round"]))
+    ui = int(rng.choice([2, 4]))
+    ic = None if rng.random() < 0.5 else int(rng.integers(1, 2 * lq + 2))
+    got = np.asarray(
+        sw_pallas_windows(
+            profile, db[None], go, ge, nw=1, jb=jb, ui=ui, ic=ic,
+            pipe=pipe, pack=pack, upk=upk, interpret=True,
+        )
+    )
+    if nq == 1:
+        got = got[None]
+    for qi in range(nq):
+        for k in rng.choice(n, min(n, 6), replace=False):
+            want = sw_score_single(queries[qi], seqs[k], table, gap_open, ge)
+            assert got[qi, k] == want, (
+                trial, qi, k, pipe, pack, upk, ic, got[qi, k], want,
+            )
