@@ -168,3 +168,44 @@ def test_fuzz_packed_config_lattice(trial):
             assert got[qi, k] == want, (
                 trial, qi, k, pipe, pack, upk, ic, got[qi, k], want,
             )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("trial", range(3))
+def test_fuzz_striped_packed(trial):
+    """Striped kernel with random stripe counts and packed S production."""
+    from seqalign_tpu.ops.swa_pallas import sw_pallas_stream_striped
+    from seqalign_tpu.pipeline import _db_from_encoded
+    from seqalign_tpu.utils.packing import pack_streams
+
+    rng = np.random.default_rng(5000 + trial)
+    table, go, ge, gap_open = random_system(rng)
+    lq = int(rng.integers(9, 40))  # > stripe_rows: multiple stripes
+    query = rng.integers(1, 32, lq).astype(np.int32)
+    profile = table[query]
+    n = int(rng.integers(1050, 1400))
+    encoded = [
+        rng.integers(1, 32, int(rng.integers(0, 20))).astype(np.int8)
+        for _ in range(n)
+    ]
+    db = _db_from_encoded(encoded)
+    order = np.argsort(-db.lengths, kind="stable")
+    jb = 4
+    pack_ = pack_streams(db, order, 1, win=1024, jb=jb, grain=8)
+    pipe, pk = [(0, 1), (6, 1), (6, 2), (6, 4)][int(rng.integers(0, 4))]
+    out = np.asarray(
+        sw_pallas_stream_striped(
+            profile, pack_.streams, pack_.fs, go, ge,
+            nslots=len(pack_.slot_ids), nw=1, jb=jb, ui=2,
+            stripe_rows=8, pipe=pipe, pack=pk,
+            upk=str(rng.choice(["floor", "round"])), interpret=True,
+        )
+    )
+    scores = np.zeros(n, dtype=np.int32)
+    for slot, ids in enumerate(pack_.slot_ids):
+        scores[ids] = out[slot][: len(ids)]
+    for k in rng.choice(n, 6, replace=False):
+        want = sw_score_single(
+            query, encoded[k].astype(np.int32), table, gap_open, ge
+        )
+        assert scores[k] == want, (trial, k, pipe, pk, scores[k], want)
