@@ -31,6 +31,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <string>
 #include <vector>
 
@@ -54,7 +55,8 @@ struct LutInit {
 } lut_init;
 
 struct ParseResult {
-  std::vector<int8_t> seq;        // concatenated encoded residues
+  std::unique_ptr<int8_t[]> seq;  // concatenated encoded residues
+  int64_t seq_len = 0;
   std::vector<int64_t> offsets;   // N+1 offsets into seq
   std::string names;             // concatenated names, '\n'-separated
   int64_t n = 0;
@@ -94,8 +96,14 @@ bool read_all(const char* path, std::string* out) {
   if (size >= 0) {
     const size_t body = static_cast<size_t>(size) - m;
     const size_t base = out->size();
-    out->resize(base + body);
-    ok = fread(&(*out)[base], 1, body, f) == body;
+    // resize_and_overwrite: no zero-fill before fread overwrites the bytes.
+    size_t got = 0;
+    out->resize_and_overwrite(
+        base + body, [&](char* p, size_t want) {
+          got = fread(p + base, 1, want - base, f);
+          return base + got;
+        });
+    ok = got == body;
   } else {  // non-seekable: chunked append
     char buf[1 << 20];
     size_t n;
@@ -174,16 +182,14 @@ int parse(const char* path, ParseResult* res) {
   size_t i = 0;
   const size_t n = data.size();
   // Every residue comes from the file, so the file size bounds the encoded
-  // length; one allocation + raw-pointer writes replace per-byte growth.
-  res->seq.resize(n);
-  int8_t* wp = res->seq.data();
+  // length; one uninitialized allocation + raw-pointer writes replace
+  // per-byte growth (new[] of a POD skips the zero-fill a vector pays).
+  res->seq.reset(new int8_t[n ? n : 1]);
+  int8_t* wp = res->seq.get();
   const int8_t* const seq_base = wp;
   // Skip leading blank lines.
   while (i < n && (data[i] == '\n' || data[i] == '\r' || data[i] == ' ')) ++i;
-  if (i >= n) {
-    res->seq.clear();
-    return 0;  // empty file -> zero records
-  }
+  if (i >= n) return 0;  // empty file -> zero records
   const char marker = data[i];
   if (marker != '>' && marker != '@') return -3;
   const bool fastq = marker == '@';
@@ -220,7 +226,7 @@ int parse(const char* path, ParseResult* res) {
     res->offsets.push_back(static_cast<int64_t>(wp - seq_base));
     res->n += 1;
   }
-  res->seq.resize(wp - seq_base);
+  res->seq_len = static_cast<int64_t>(wp - seq_base);
   return 0;
 }
 
@@ -242,7 +248,7 @@ void* fastio_parse(const char* path, int64_t* n_records, int64_t* n_residues,
   }
   *err = 0;
   *n_records = res->n;
-  *n_residues = static_cast<int64_t>(res->seq.size());
+  *n_residues = res->seq_len;
   *names_bytes = static_cast<int64_t>(res->names.size());
   return res;
 }
@@ -250,8 +256,8 @@ void* fastio_parse(const char* path, int64_t* n_records, int64_t* n_residues,
 void fastio_fetch(void* handle, int8_t* seq_out, int64_t* offsets_out,
                   char* names_out) {
   auto* res = static_cast<ParseResult*>(handle);
-  if (!res->seq.empty())
-    memcpy(seq_out, res->seq.data(), res->seq.size());
+  if (res->seq_len > 0)
+    memcpy(seq_out, res->seq.get(), res->seq_len);
   memcpy(offsets_out, res->offsets.data(),
          res->offsets.size() * sizeof(int64_t));
   if (!res->names.empty())

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-from dataclasses import dataclass
 
 import numpy as np
 
@@ -51,17 +50,34 @@ def available() -> bool:
     return _load() is not None
 
 
-@dataclass
 class EncodedDatabase:
     """A fully parsed+encoded database in flat-buffer form.
 
     ``seq`` holds every record's alphabet indices concatenated;
     record ``i`` spans ``seq[offsets[i]:offsets[i+1]]``.
+
+    ``names`` may be passed as a list, or as the parser's raw
+    ``'\\n'``-terminated blob — splitting 10^5+ names into Python strings
+    costs more than the native parse itself, and most searches only ever
+    look up the few names they print, so the split happens lazily on
+    first access.
     """
 
-    seq: np.ndarray  # (total_residues,) int8
-    offsets: np.ndarray  # (n+1,) int64
-    names: list[str]
+    def __init__(
+        self,
+        seq: np.ndarray,  # (total_residues,) int8
+        offsets: np.ndarray,  # (n+1,) int64
+        names: list[str] | str,  # list, or raw '\n'-terminated blob
+    ):
+        self.seq = seq
+        self.offsets = offsets
+        self._names = names
+
+    @property
+    def names(self) -> list[str]:
+        if not isinstance(self._names, list):
+            self._names = self._names.split("\n")[:-1] if self._names else []
+        return self._names
 
     @property
     def n(self) -> int:
@@ -113,8 +129,7 @@ def parse_file(path: str) -> EncodedDatabase:
     raw_names = names_buf.raw[: names_bytes.value].decode(
         "ascii", errors="replace"
     )
-    names = raw_names.split("\n")[:-1] if raw_names else []
-    return EncodedDatabase(seq=seq, offsets=offsets, names=names)
+    return EncodedDatabase(seq=seq, offsets=offsets, names=raw_names)
 
 
 def _parse_file_python(path: str) -> EncodedDatabase:
