@@ -397,6 +397,70 @@ class TestPallasInterpret:
             np.testing.assert_array_equal(scores, want)
 
     @pytest.mark.slow
+    @pytest.mark.parametrize(
+        "pack,upk,bound",
+        [(2, "floor", 128), (4, "floor", 31), (2, "round", 255),
+         (4, "round", 31)],
+    )
+    def test_packed_bound_boundary_exact(self, pack, upk, bound):
+        """Packing is exact AT the advertised |P - go| bound, not just well
+        inside it (random fuzz never reaches the edge; an off-by-one in the
+        field scaling would silently corrupt production scores for
+        wide-range matrices)."""
+        from seqalign_tpu.ops.oracle import sw_score_single
+        from seqalign_tpu.ops.swa_pallas import PACK_BOUNDS
+
+        rng = np.random.default_rng(60_000 + pack * 10 + (upk == "round"))
+        gap_open, ge = -2, -1
+        go = gap_open + ge
+        # Table entries span exactly [go - bound, go + bound]; pin the
+        # extremes so some profile fields sit at +/-bound after bias.
+        table = rng.integers(go - bound, go + bound + 1, (32, 32)).astype(
+            np.int32
+        )
+        table[1, 1] = go + bound
+        table[2, 2] = go - bound
+        table[:, PAD_INDEX] = -1  # pad column nonpositive (score-invariant)
+        table[PAD_INDEX, :] = -1
+        lq = 8
+        query = np.array([1, 2, 3, 4, 5, 1, 2, 6], dtype=np.int32)
+        profile = table[query]
+        assert np.max(np.abs(profile - go)) == bound
+        if upk == "floor":
+            assert bound <= PACK_BOUNDS[pack]
+        n, lb = 24, 20
+        db = rng.integers(1, 31, (lb, 1024)).astype(np.int32)
+        # Force hits on the pinned extremes.
+        db[:4, 0] = [1, 1, 2, 1]
+        db[:4, 1] = [2, 2, 1, 2]
+        got = np.asarray(
+            sw_pallas_windows(
+                profile, db[None], go, ge, nw=1, jb=4, ui=2,
+                pipe=6, pack=pack, upk=upk, interpret=True,
+            )
+        )
+        for k in range(n):
+            want = sw_score_single(query, db[:, k], table, gap_open, ge)
+            assert got[k] == want, (pack, upk, k, got[k], want)
+
+    def test_choose_config_pack_gate_boundary(self):
+        """choose_config admits packing at the exact bound and rejects just
+        above it (the production exactness gate)."""
+        from seqalign_tpu.ops.swa_pallas import PACK_BOUNDS, choose_config
+
+        for lq in (17, 144):
+            cfgs = {}
+            for eps, key in ((0.0, "at"), (0.5, "above")):
+                cfg = choose_config(lq, max_abs_bias=PACK_BOUNDS[4] + eps)
+                cfgs[key] = cfg.pack if cfg else 1
+            assert cfgs["above"] == 1, (lq, cfgs)
+            # If this band adopts packing at all, the gate must admit it
+            # at the exact bound.
+            any_packed = choose_config(lq, max_abs_bias=1.0)
+            if any_packed and any_packed.pack == 4:
+                assert cfgs["at"] == 4, (lq, cfgs)
+
+    @pytest.mark.slow
     def test_striped_packed_production(self, rng, blosum62):
         """Striped kernel with fused+packed S production (pipe=6 pack=4):
         stripe boundaries and packed row groups compose exactly."""
