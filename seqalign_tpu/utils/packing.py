@@ -20,7 +20,7 @@ bounded by the lattice ratio (25%) instead of the longest database sequence.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterable, Iterator, Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 
@@ -189,29 +189,6 @@ def pack_streams(
     )
 
 
-def pack_stream(
-    encoded_iter: Iterable[np.ndarray],
-    lanes: int,
-    sort_window: int = 1 << 18,
-) -> Iterator[PackedBatch]:
-    """Streaming variant: sorts within windows of ``sort_window`` records.
-
-    Keeps host memory bounded for databases that do not fit in RAM while
-    still getting most of the padding benefit of a global sort (scores are
-    padding-invariant, so windowed sorting never changes results). Record ids
-    remain global stream positions.
-    """
-    window: list[np.ndarray] = []
-    base = 0
-    for e in encoded_iter:
-        window.append(e)
-        if len(window) >= sort_window:
-            for batch in pack_encoded(window, lanes):
-                batch.record_ids = batch.record_ids + base
-                yield batch
-            base += len(window)
-            window = []
-    if window:
-        for batch in pack_encoded(window, lanes):
-            batch.record_ids = batch.record_ids + base
-            yield batch
+# NOTE: a windowed-sort streaming packer (pack_stream) used to live here;
+# bounded-memory scanning is served by pipeline.search_files_streaming,
+# which chunks records and reuses the per-chunk sort in pack_encoded.
