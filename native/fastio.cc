@@ -230,9 +230,208 @@ int parse(const char* path, ParseResult* res) {
   return 0;
 }
 
+// Incremental (chunked) reader: bounded-memory parsing for databases that
+// do not fit in RAM (pipeline.search_files_streaming). Same record/encode
+// semantics as parse(); gzip handled transparently by zlib.
+struct StreamState {
+  gzFile f = nullptr;
+  std::string buf;  // buffered unconsumed bytes
+  size_t pos = 0;
+  bool eof = false;
+  char marker = 0;  // record marker ('>' / '@') once detected
+  bool started = false;
+};
+
+// Appends more data; returns false at EOF or on a read error (err set).
+bool refill(StreamState* st, int* err) {
+  if (st->eof) return false;
+  if (st->pos > (1u << 20) && st->pos * 2 > st->buf.size()) {
+    st->buf.erase(0, st->pos);  // compact consumed prefix
+    st->pos = 0;
+  }
+  char tmp[1 << 20];
+  const int n = gzread(st->f, tmp, sizeof(tmp));
+  if (n < 0) {
+    *err = -1;
+    st->eof = true;
+    return false;
+  }
+  if (n == 0) {
+    st->eof = true;
+    return false;
+  }
+  st->buf.append(tmp, n);
+  return true;
+}
+
+// Byte available at pos? (refilling as needed)
+inline bool have_byte(StreamState* st, int* err) {
+  while (st->pos >= st->buf.size()) {
+    if (!refill(st, err)) return false;
+  }
+  return true;
+}
+
+// End of the line starting at pos (index of '\n' or buffer end at EOF).
+// `searched` is tracked relative to pos because refill() may compact the
+// buffer and shift absolute indices.
+size_t line_end(StreamState* st, int* err) {
+  size_t searched = 0;
+  for (;;) {
+    const size_t e = st->buf.find('\n', st->pos + searched);
+    if (e != std::string::npos) return e;
+    searched = st->buf.size() - st->pos;
+    if (!refill(st, err)) return st->buf.size();
+  }
+}
+
+// Chunked results grow seq dynamically (chunk size is bounded).
+struct ParseResult2 {
+  std::vector<int8_t> seq;
+  std::vector<int64_t> offsets;
+  std::string names;
+  int64_t n = 0;
+};
+
+// Encodes the line at pos into res->seq (growing it), advancing past the
+// newline. Returns false on an illegal character.
+bool encode_line(StreamState* st, ParseResult2* res, int* err) {
+  const size_t eol = line_end(st, err);
+  const size_t old = res->seq.size();
+  res->seq.resize(old + (eol - st->pos));
+  int8_t* w = res->seq.data() + old;
+  if (!encode_span(st->buf.data(), st->pos, eol, &w)) {
+    *err = -2;
+    return false;
+  }
+  res->seq.resize(w - res->seq.data());
+  st->pos = eol + 1;
+  if (st->pos > st->buf.size()) st->pos = st->buf.size();
+  return true;
+}
+
+// Skips one full line (FASTQ '+' and quality lines).
+void skip_line(StreamState* st, int* err) {
+  const size_t eol = line_end(st, err);
+  st->pos = eol + 1;
+  if (st->pos > st->buf.size()) st->pos = st->buf.size();
+}
+
+// Parses up to max_records records into *res. Returns 0 ok (possibly zero
+// records at clean EOF), else the error code.
+int parse_chunk(StreamState* st, int64_t max_records, ParseResult2* res) {
+  int err = 0;
+  res->offsets.push_back(0);
+  if (!st->started) {
+    // Skip leading blank lines.
+    while (have_byte(st, &err)) {
+      const char c = st->buf[st->pos];
+      if (c == '\n' || c == '\r' || c == ' ') {
+        ++st->pos;
+        continue;
+      }
+      break;
+    }
+    if (err) return err;
+    if (st->eof && st->pos >= st->buf.size()) return 0;  // empty input
+    st->marker = st->buf[st->pos];
+    if (st->marker != '>' && st->marker != '@') return -3;
+    st->started = true;
+  }
+  const bool fastq = st->marker == '@';
+  while (res->n < max_records) {
+    if (!have_byte(st, &err)) break;  // clean EOF (or err set)
+    if (st->buf[st->pos] != st->marker) return -3;
+    ++st->pos;
+    // Name line.
+    const size_t eol = line_end(st, &err);
+    size_t name_end = eol;
+    while (name_end > st->pos && st->buf[name_end - 1] == '\r') --name_end;
+    res->names.append(st->buf, st->pos, name_end - st->pos);
+    res->names.push_back('\n');
+    st->pos = eol + 1;
+    if (st->pos > st->buf.size()) st->pos = st->buf.size();
+    if (fastq) {
+      if (!encode_line(st, res, &err)) return err;
+      skip_line(st, &err);  // '+'
+      skip_line(st, &err);  // quality
+      while (have_byte(st, &err)) {  // blank lines between records
+        const char c = st->buf[st->pos];
+        if (c == '\n' || c == '\r') {
+          ++st->pos;
+          continue;
+        }
+        break;
+      }
+    } else {
+      while (have_byte(st, &err) && st->buf[st->pos] != st->marker) {
+        if (!encode_line(st, res, &err)) return err;
+      }
+    }
+    if (err) return err;
+    res->offsets.push_back(static_cast<int64_t>(res->seq.size()));
+    res->n += 1;
+  }
+  return err;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Opens a FASTA/FASTQ file (gzip ok) for chunked reading. Returns a stream
+// handle, or nullptr with *err = -1 on open failure.
+void* fastio_open(const char* path, int* err) {
+  gzFile f = gzopen(path, "rb");
+  if (f == nullptr) {
+    *err = -1;
+    return nullptr;
+  }
+  gzbuffer(f, 1 << 20);
+  auto* st = new StreamState();
+  st->f = f;
+  *err = 0;
+  return st;
+}
+
+// Reads up to max_records records. Returns a result handle for
+// fastio_fetch/fastio_free, or nullptr at clean EOF (err 0) / on error
+// (err -1 io, -2 illegal char, -3 format).
+void* fastio_read_chunk(void* stream, int64_t max_records, int64_t* n_records,
+                        int64_t* n_residues, int64_t* names_bytes, int* err) {
+  auto* st = static_cast<StreamState*>(stream);
+  auto* res = new ParseResult2();
+  const int rc = parse_chunk(st, max_records, res);
+  if (rc != 0 || res->n == 0) {
+    delete res;
+    *err = rc;
+    return nullptr;
+  }
+  *err = 0;
+  *n_records = res->n;
+  *n_residues = static_cast<int64_t>(res->seq.size());
+  *names_bytes = static_cast<int64_t>(res->names.size());
+  return res;
+}
+
+// Fetches a chunk produced by fastio_read_chunk (same layout as
+// fastio_fetch) and frees it.
+void fastio_fetch_chunk(void* handle, int8_t* seq_out, int64_t* offsets_out,
+                        char* names_out) {
+  auto* res = static_cast<ParseResult2*>(handle);
+  if (!res->seq.empty()) memcpy(seq_out, res->seq.data(), res->seq.size());
+  memcpy(offsets_out, res->offsets.data(),
+         res->offsets.size() * sizeof(int64_t));
+  if (!res->names.empty())
+    memcpy(names_out, res->names.data(), res->names.size());
+  delete res;
+}
+
+void fastio_close(void* stream) {
+  auto* st = static_cast<StreamState*>(stream);
+  if (st->f != nullptr) gzclose(st->f);
+  delete st;
+}
 
 // Parses path. On success returns a heap handle and fills counts; call
 // fastio_fetch to copy data out and fastio_free to release. Returns nullptr

@@ -836,9 +836,13 @@ def search_files_streaming(
     parse is O(database) instead, which a larger-than-RAM database breaks.
     This variant reads/encodes/scores ``chunk_records`` at a time (the
     per-chunk sort keeps padding low within each chunk) and keeps only
-    names + scores. Scores are identical to the non-streaming path.
+    names + scores — the ingest runs through the native chunked reader
+    (``native_io.stream_chunks``) at the same rate as the whole-file
+    parser. Scores are identical to the non-streaming path.
     """
     import os
+
+    from .utils.native_io import stream_chunks
 
     query = read_first(query_path)
     query_idx = scoring.query_indices(query.seq)
@@ -847,13 +851,8 @@ def search_files_streaming(
     names: list[str] = []
     chunks: list[np.ndarray] = []
     kernel_time = 0.0
-    buf: list[SeqRecord] = []
 
-    def flush(buf, k):
-        nonlocal kernel_time
-        db = _db_from_encoded(
-            [encode(r.seq) for r in buf], names=[r.name for r in buf]
-        )
+    for k, db in enumerate(stream_chunks(db_path, chunk_records)):
         ck = (
             os.path.join(checkpoint_dir, f"part{k}") if checkpoint_dir else None
         )
@@ -864,16 +863,6 @@ def search_files_streaming(
         kernel_time += dt
         names.extend(db.names)
         chunks.append(s)
-
-    k = 0
-    for rec in read_fasta(db_path):
-        buf.append(rec)
-        if len(buf) >= chunk_records:
-            flush(buf, k)
-            buf = []
-            k += 1
-    if buf:
-        flush(buf, k)
 
     scores = (
         np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int32)

@@ -35,6 +35,21 @@ def _load():
     lib.fastio_fetch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
     lib.fastio_free.restype = None
     lib.fastio_free.argtypes = [ctypes.c_void_p]
+    lib.fastio_open.restype = ctypes.c_void_p
+    lib.fastio_open.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+    lib.fastio_read_chunk.restype = ctypes.c_void_p
+    lib.fastio_read_chunk.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.fastio_fetch_chunk.restype = None
+    lib.fastio_fetch_chunk.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
+    lib.fastio_close.restype = None
+    lib.fastio_close.argtypes = [ctypes.c_void_p]
     lib.fastio_pack.restype = None
     lib.fastio_pack.argtypes = [ctypes.c_void_p] * 3 + [
         ctypes.c_int64,
@@ -152,6 +167,97 @@ def _parse_file_python(path: str) -> EncodedDatabase:
     return EncodedDatabase(
         seq=seq, offsets=np.asarray(offsets, dtype=np.int64), names=names
     )
+
+
+def _raise_parse_error(err: int, path: str):
+    if err == -1:
+        raise OSError(f"couldn't read {path}")
+    if err == -2:
+        from ..models.alphabet import AlphabetError
+
+        raise AlphabetError(
+            f"illegal character for the substitution matrix in {path}"
+        )
+    raise ValueError(f"unrecognized sequence file format: {path}")
+
+
+def stream_chunks(path: str, chunk_records: int):
+    """Yield EncodedDatabase chunks of <= chunk_records records.
+
+    Bounded-memory ingest at native parse speed (the whole-file
+    ``parse_file`` is O(database) RAM). Falls back to the pure-Python
+    reader when the native library is absent or the input is not a
+    regular file (e.g. '-').
+    """
+    lib = _load()
+    if lib is None or path == "-" or not os.path.isfile(path):
+        yield from _stream_chunks_python(path, chunk_records)
+        return
+    err = ctypes.c_int()
+    handle = lib.fastio_open(path.encode(), ctypes.byref(err))
+    if not handle:
+        raise OSError(f"couldn't read {path}")
+    try:
+        n = ctypes.c_int64()
+        residues = ctypes.c_int64()
+        names_bytes = ctypes.c_int64()
+        while True:
+            chunk = lib.fastio_read_chunk(
+                handle, chunk_records, ctypes.byref(n),
+                ctypes.byref(residues), ctypes.byref(names_bytes),
+                ctypes.byref(err),
+            )
+            if not chunk:
+                if err.value != 0:
+                    _raise_parse_error(err.value, path)
+                return  # clean EOF
+            seq = np.empty(residues.value, dtype=np.int8)
+            offsets = np.empty(n.value + 1, dtype=np.int64)
+            names_buf = ctypes.create_string_buffer(
+                max(names_bytes.value, 1)
+            )
+            lib.fastio_fetch_chunk(
+                chunk,
+                seq.ctypes.data_as(ctypes.c_void_p),
+                offsets.ctypes.data_as(ctypes.c_void_p),
+                names_buf,
+            )
+            raw_names = names_buf.raw[: names_bytes.value].decode(
+                "ascii", errors="replace"
+            )
+            yield EncodedDatabase(seq=seq, offsets=offsets, names=raw_names)
+    finally:
+        lib.fastio_close(handle)
+
+
+def _stream_chunks_python(path: str, chunk_records: int):
+    from ..models.alphabet import encode
+    from .fasta import read_fasta
+
+    def build(records):
+        seqs = [encode(r.seq) for r in records]
+        offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+        total = 0
+        for i, e in enumerate(seqs):
+            total += len(e)
+            offsets[i + 1] = total
+        seq = (
+            np.concatenate(seqs).astype(np.int8)
+            if seqs
+            else np.zeros(0, dtype=np.int8)
+        )
+        return EncodedDatabase(
+            seq=seq, offsets=offsets, names=[r.name for r in records]
+        )
+
+    buf = []
+    for rec in read_fasta(path):
+        buf.append(rec)
+        if len(buf) >= chunk_records:
+            yield build(buf)
+            buf = []
+    if buf:
+        yield build(buf)
 
 
 def pack_batch(

@@ -75,6 +75,62 @@ class TestNativeParse:
         assert ndb.names == [r.name for r in recs]
 
 
+class TestStreamChunks:
+    """Chunked (bounded-memory) reader == whole-file parser, bit for bit."""
+
+    def _concat(self, path, chunk_records):
+        tot_n, seqs, names = 0, [], []
+        offs, base = [np.zeros(1, dtype=np.int64)], 0
+        for ch in native_io.stream_chunks(path, chunk_records):
+            assert ch.n <= chunk_records
+            tot_n += ch.n
+            seqs.append(ch.seq)
+            names.extend(ch.names)
+            offs.append(ch.offsets[1:] + base)
+            base += len(ch.seq)
+        seq = (
+            np.concatenate(seqs) if seqs else np.zeros(0, dtype=np.int8)
+        )
+        return tot_n, seq, np.concatenate(offs), names
+
+    @pytest.mark.parametrize("chunk_records", [1, 5, 1000])
+    def test_matches_whole_parse(self, fasta_file, chunk_records):
+        whole = native_io.parse_file(fasta_file)
+        n, seq, offsets, names = self._concat(fasta_file, chunk_records)
+        assert n == whole.n
+        np.testing.assert_array_equal(seq, whole.seq)
+        np.testing.assert_array_equal(offsets, whole.offsets)
+        assert names == whole.names
+
+    def test_gzip_and_fastq(self, tmp_path):
+        gz = tmp_path / "r.fq.gz"
+        gz.write_bytes(
+            gzip.compress(b"@r1\nACGT\n+\n!!!!\n@r2\nGGCC\n+\n@@@@\n")
+        )
+        chunks = list(native_io.stream_chunks(str(gz), 1))
+        assert [c.names for c in chunks] == [["r1"], ["r2"]]
+        np.testing.assert_array_equal(chunks[1].record(0), encode("GGCC"))
+
+    def test_illegal_char(self, tmp_path):
+        p = tmp_path / "bad.fa"
+        p.write_text(">x\nAC-GT\n")
+        from seqalign_tpu.models import AlphabetError
+
+        with pytest.raises(AlphabetError):
+            list(native_io.stream_chunks(str(p), 4))
+
+    def test_python_fallback_matches(self, fasta_file):
+        import unittest.mock as mock
+
+        want = self._concat(fasta_file, 7)
+        with mock.patch.object(native_io, "_load", return_value=None):
+            got = self._concat(fasta_file, 7)
+        assert got[0] == want[0]
+        np.testing.assert_array_equal(got[1], want[1])
+        np.testing.assert_array_equal(got[2], want[2])
+        assert got[3] == want[3]
+
+
 class TestNativePack:
     def test_pack_matches_python(self, fasta_file, rng):
         db = native_io.parse_file(fasta_file)
