@@ -186,6 +186,28 @@ def main() -> None:
                     file=sys.stderr,
                     flush=True,
                 )
+                # Record the outage as a PARSEABLE line rather than a bare
+                # nonzero exit: the round's scoreboard then shows an
+                # explicit hardware outage instead of an opaque null.
+                _stash(
+                    json.dumps(
+                        {
+                            "metric": "swissprot_scale_search_gcups",
+                            "value": None,
+                            "unit": "GCUPS",
+                            "vs_baseline": None,
+                            "detail": {
+                                "error": (
+                                    "TPU backend unreachable: axon tunnel "
+                                    "init hung/failed for the entire bench "
+                                    "budget (subprocess probes, 150 s "
+                                    "timeout each)"
+                                ),
+                                "outage_log": "docs/ROUND3.md",
+                            },
+                        }
+                    )
+                )
                 _emit_best_and_exit(code_if_empty=3)
             print(
                 "bench: TPU backend probe failed (tunnel down?); "
@@ -273,6 +295,7 @@ def main() -> None:
                     dict(
                         nslots=nslots, nw=cfg.nw, jb=cfg.jb, ui=cfg.ui,
                         ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack,
+                        upk=cfg.upk,
                     ),
                 )
             )
@@ -392,7 +415,7 @@ def _short_and_mq_points(jax, jnp, functools, db, sc, aa20, rng):
     jax.block_until_ready([sd, fd, pd])
     kw = dict(
         nslots=len(pack.slot_ids), nw=cfg.nw, jb=cfg.jb, ui=cfg.ui,
-        ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack,
+        ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack, upk=cfg.upk,
     )
 
     @jax.jit

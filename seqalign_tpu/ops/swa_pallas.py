@@ -736,6 +736,8 @@ class KernelConfig:
     pack: int = 1  # query rows packed per dot output (1, 2, 4; pipe=6
     # only) — see _run_block's packed-production docstring for the
     # |P'| bounds each pack level requires
+    upk: str = "floor"  # packed-field extraction mode ("floor"/"round");
+    # selects which PACK_BOUNDS* table gated this config in choose_config
 
 
 def _pack_profile(
@@ -921,7 +923,7 @@ def sw_pallas_windows(
     jax.jit,
     static_argnames=(
         "go", "ge", "nslots", "sl", "nw", "jb", "ic", "ui", "pipe", "pack",
-        "interpret",
+        "upk", "interpret",
     ),
 )
 def sw_pallas_stream(
@@ -939,6 +941,7 @@ def sw_pallas_stream(
     ui: int = DEFAULT_UI,
     pipe: int = 0,
     pack: int = 1,
+    upk: str = "floor",
     interpret: bool = False,
 ) -> jax.Array:
     """Score one or more queries against a segmented database in one dispatch.
@@ -989,13 +992,16 @@ def sw_pallas_stream(
         prof = jnp.pad(prof, ((0, lqe - lq), (0, 0)))
     prof = jnp.pad(prof, ((0, nc * ic - lqp), (0, 0)))
     prof = (
-        _pack_profile(prof, pack) if pack > 1 else prof.astype(jnp.bfloat16)
+        _pack_profile(prof, pack, upk)
+        if pack > 1
+        else prof.astype(jnp.bfloat16)
     )
     dbb = streams.astype(jnp.int32).reshape(nw, nj, jb, sl, LANES)
 
     kernel = functools.partial(
         _kernel_stream, lqp=lqp, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui, nc=nc,
         go=int(go), ge=int(ge), nq=nq, lqe=lqe, pipe=pipe, pack=pack,
+        upk=upk,
     )
     out = pl.pallas_call(
         kernel,
@@ -1365,7 +1371,19 @@ _SHAPES_MQ = [
 
 #: max |P'| (biased profile magnitude) each pack level represents exactly
 #: in its f32 field — see _run_block's packed-production docstring.
+#: Keyed by extraction mode: upk="floor" biases fields non-negative (the
+#: lower field must stay below the next field's unit), upk="round" stores
+#: signed fields (round-to-nearest extraction tolerates |low| <= 255 at
+#: pack=2 because the error term stays < 0.5 field units).
 PACK_BOUNDS = {1: float(_BF16_EXACT), 2: 128.0, 4: 31.0}
+PACK_BOUNDS_ROUND = {1: float(_BF16_EXACT), 2: 255.0, 4: 31.0}
+
+#: Production packed-field extraction mode. "round" costs fewer VPU ops
+#: per group (12 vs 15) and widens the pack=2 bound to 255, but is
+#: pending hardware validation (tools/exp_pack.py --upk round) — flip
+#: this single constant to adopt it; choose_config and the pipeline
+#: follow automatically.
+PRODUCTION_UPK = "floor"
 
 
 def choose_config(
@@ -1375,6 +1393,7 @@ def choose_config(
     nq: int = 1,
     nw_max: int | None = None,
     max_abs_bias: float | None = None,
+    upk: str | None = None,
 ) -> KernelConfig | None:
     """Pick (windows, j-block, row-unroll, S-chunk rows) for a query length.
 
@@ -1390,7 +1409,15 @@ def choose_config(
     fits the pack level's exact-field range (PACK_BOUNDS); with the
     default ``None`` only pack=1 shapes are considered, so callers that
     haven't inspected their profile can never select a lossy config.
+
+    ``upk`` selects the packed-field extraction mode the caller will run
+    with (None = PRODUCTION_UPK): "round" gates against the wider
+    PACK_BOUNDS_ROUND table and the returned config carries the mode so
+    the pipeline passes it straight to the kernel.
     """
+    if upk is None:
+        upk = PRODUCTION_UPK
+    bounds = PACK_BOUNDS_ROUND if upk == "round" else PACK_BOUNDS
     if nq > 1:
         shapes = _SHAPES_MQ
     elif lq <= 48:
@@ -1410,7 +1437,7 @@ def choose_config(
         if nw_max is not None and nw_c > nw_max:
             continue
         if pk > 1 and (
-            max_abs_bias is None or max_abs_bias > PACK_BOUNDS[pk]
+            max_abs_bias is None or max_abs_bias > bounds[pk]
         ):
             continue
         # per-query rows pad to the (ui, pack) lattice so packed groups
@@ -1444,7 +1471,7 @@ def choose_config(
             ic = lat if ic_budget >= lat else 0
         if ic >= ui:
             return KernelConfig(
-                nw=nw_c, jb=jb, ui=ui, ic=ic, pipe=pipe, pack=pk
+                nw=nw_c, jb=jb, ui=ui, ic=ic, pipe=pipe, pack=pk, upk=upk
             )
     return None  # no validated shape fits VMEM: route to the XLA engine
 

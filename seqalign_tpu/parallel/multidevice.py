@@ -136,7 +136,7 @@ def multi_device_search(
                 jax.block_until_ready([s_dev, f_dev, p_dev])
                 kw = dict(
                     nslots=nslots, nw=cfg.nw, jb=cfg.jb, ui=cfg.ui,
-                    ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack,
+                    ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack, upk=cfg.upk,
                 )
                 if engine_fn is None:
                     from ..pipeline import _EXEC_CACHE

@@ -478,6 +478,7 @@ def _stream_search(
                     kw = dict(
                         nslots=nslots_c, nw=nw, jb=cfg.jb, ui=cfg.ui,
                         ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack,
+                        upk=cfg.upk,
                     )
                     # AOT-compile outside the timed region: the reference's
                     # timer also excludes everything but the kernel loop

@@ -100,11 +100,17 @@ def test_fuzz_stream_kernel(trial):
     grain = int(rng.choice([8, 16])) * (jb // 2 if jb == 4 else 1)
     grain = max(grain, jb)
     pack = pack_streams(db, order, nw, win=1024, jb=jb, grain=grain)
+    # S-production variants ride the same plumbing as the windows kernel;
+    # cover the packed/round path through the STREAM wrapper too (it has
+    # its own profile pad/pack staging and static-arg threading).
+    pipe, pk = [(0, 1), (6, 1), (6, 2), (6, 4)][int(rng.integers(0, 4))]
+    upk = str(rng.choice(["floor", "round"]))
     out = np.asarray(
         sw_pallas_stream(
             profile, pack.streams, pack.fs, go, ge,
             nslots=len(pack.slot_ids), nw=nw, jb=jb,
-            ui=int(rng.choice([2, 4])), interpret=True,
+            ui=int(rng.choice([2, 4])), pipe=pipe, pack=pk, upk=upk,
+            interpret=True,
         )
     )
     scores = np.zeros(n, dtype=np.int32)

@@ -460,6 +460,33 @@ class TestPallasInterpret:
             if any_packed and any_packed.pack == 4:
                 assert cfgs["at"] == 4, (lq, cfgs)
 
+    def test_choose_config_upk_round_gate(self):
+        """upk="round" gates against PACK_BOUNDS_ROUND (wider pack=2
+        range) and the returned config carries the mode so the pipeline
+        passes it to the kernel unchanged."""
+        from seqalign_tpu.ops.swa_pallas import (
+            PACK_BOUNDS, PACK_BOUNDS_ROUND, choose_config,
+        )
+
+        assert PACK_BOUNDS_ROUND[2] == 255.0 and PACK_BOUNDS[2] == 128.0
+        assert PACK_BOUNDS_ROUND[4] == PACK_BOUNDS[4] == 31.0
+        for lq in (17, 144, 512):
+            for upk in ("floor", "round"):
+                cfg = choose_config(lq, max_abs_bias=18.0, upk=upk)
+                assert cfg is not None and cfg.upk == upk
+            # Default (upk=None) follows the production constant.
+            from seqalign_tpu.ops.swa_pallas import PRODUCTION_UPK
+
+            dflt = choose_config(lq, max_abs_bias=18.0)
+            assert dflt.upk == PRODUCTION_UPK
+        # A bias legal only under round bounds at pack=2: floor mode must
+        # refuse pack=2 shapes, round mode may admit them (if a band ships
+        # a pack=2 shape); pack=4 is refused by BOTH (bound 31 either way).
+        cfg_f = choose_config(144, max_abs_bias=200.0, upk="floor")
+        assert cfg_f.pack == 1
+        cfg_r = choose_config(144, max_abs_bias=200.0, upk="round")
+        assert cfg_r.pack in (1, 2)  # never 4 at bias 200
+
     @pytest.mark.slow
     def test_striped_packed_production(self, rng, blosum62):
         """Striped kernel with fused+packed S production (pipe=6 pack=4):

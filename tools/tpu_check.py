@@ -310,7 +310,7 @@ def check_paths(rng) -> int:
         sw_pallas_stream(
             prof, pack.streams, pack.fs, go, ge,
             nslots=len(pack.slot_ids), nw=cfg.nw, jb=cfg.jb, ui=cfg.ui,
-            ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack,
+            ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack, upk=cfg.upk,
         )
     )
     want = np.asarray(sw_wavefront(prof, flat, go, ge))
