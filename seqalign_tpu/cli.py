@@ -65,6 +65,9 @@ USAGE = """usage: {prog} [OPTIONS] [seq1 seq2]
                          query record (src/alignment_cmdline.c:355-360)
     --align <k>          print gapped alignments + CIGAR for the k best hits
     --checkpoint <dir>   chunk-level resume state for huge scans
+    --db-cache <path>    persistent encoded-database cache (.sqc): parse
+                         the FASTA once, mmap thereafter ('auto' = sidecar
+                         <db>.sqc; rebuilt when the FASTA changes)
     --stream-chunk <n>   bounded-memory mode: process n db records at a time
     --trace <dir>        write a jax.profiler trace of the search
     --json               print results as one JSON object
@@ -145,6 +148,7 @@ def main(argv: list[str] | None = None) -> int:
     all_queries = False
     first_query = False
     matrix_spec = None
+    db_cache = None
     hosts = None
     host_id = None
     coordinator = None
@@ -256,6 +260,9 @@ def main(argv: list[str] | None = None) -> int:
                 i += 1
             elif al == "--checkpoint":
                 checkpoint = args[i + 1]
+                i += 1
+            elif al == "--db-cache":
+                db_cache = args[i + 1]
                 i += 1
             elif al == "--stream-chunk":
                 stream_chunk = _parse_int(args[i + 1])
@@ -378,11 +385,12 @@ def main(argv: list[str] | None = None) -> int:
     if all_queries:
         return _run_multi(
             file1, file2, scoring, engine, lanes, topk, as_json, print_fasta,
-            minscore=minscore,
+            minscore=minscore, db_cache=db_cache,
         )
     if align_k is not None:
         return _run_align(
-            file1, file2, scoring, engine, lanes, align_k, as_json
+            file1, file2, scoring, engine, lanes, align_k, as_json,
+            db_cache=db_cache,
         )
 
     tracing = False
@@ -406,6 +414,7 @@ def main(argv: list[str] | None = None) -> int:
             result = search_files(
                 file1, file2, scoring, engine=engine, lanes=lanes,
                 keep_seqs=print_seq, checkpoint_dir=checkpoint,
+                db_cache=db_cache,
             )
     except ValueError as e:
         sys.stderr.write(str(e) + "\n")
@@ -479,20 +488,22 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
-def _run_align(file1, file2, scoring, engine, lanes, k, as_json) -> int:
+def _run_align(
+    file1, file2, scoring, engine, lanes, k, as_json, db_cache=None
+) -> int:
     """--align mode: score-only scan, then re-align the k best hits with a
     full traceback (the two-phase design the reference's north star asks
     for; the reference itself is score-only, SURVEY.md §0)."""
     from .ops.traceback import topk_alignments
     from .pipeline import _warn_padding, search_database
     from .utils.fasta import read_first
-    from .utils.native_io import parse_file
+    from .utils.native_io import parse_file_cached
 
     try:
         query = read_first(file1)
         query_idx = scoring.query_indices(query.seq)
         _warn_padding(scoring, query_idx)
-        db = parse_file(file2)
+        db = parse_file_cached(file2, db_cache)
         scores, kernel_time = search_database(
             query_idx, db, scoring, engine=engine, lanes=lanes
         )
@@ -607,14 +618,15 @@ def _run_multihost(
 
 def _run_multi(
     file1, file2, scoring, engine, lanes, topk, as_json, print_fasta,
-    minscore=None,
+    minscore=None, db_cache=None,
 ) -> int:
     """--all-queries mode: one block of entries per query record."""
     from .pipeline import search_files_multi
 
     try:
         result = search_files_multi(
-            file1, file2, scoring, engine=engine, lanes=lanes
+            file1, file2, scoring, engine=engine, lanes=lanes,
+            db_cache=db_cache,
         )
     except ValueError as e:
         sys.stderr.write(str(e) + "\n")

@@ -30,7 +30,9 @@ import numpy as np
 from .models.alphabet import encode
 from .models.scoring import ScoringModel
 from .utils.fasta import SeqRecord, read_fasta, read_first
-from .utils.native_io import EncodedDatabase, pack_batch, parse_file
+from .utils.native_io import (
+    EncodedDatabase, pack_batch, parse_file, parse_file_cached,
+)
 from .utils.packing import lattice_round_up
 
 
@@ -793,6 +795,7 @@ def search_files_multi(
     scoring: ScoringModel,
     engine: str | None = None,
     lanes: int | None = None,
+    db_cache: str | None = None,
 ) -> MultiSearchResult:
     """Search EVERY record of a query FASTA against a database FASTA.
 
@@ -807,7 +810,7 @@ def search_files_multi(
     query_idxs = [scoring.query_indices(q.seq) for q in queries]
     for q in query_idxs:
         _warn_padding(scoring, q)
-    db = parse_file(db_path)
+    db = parse_file_cached(db_path, db_cache)
     scores, kernel_time = search_database_multi(
         query_idxs, db, scoring, engine=engine, lanes=lanes
     )
@@ -887,6 +890,7 @@ def search_files(
     lanes: int | None = None,
     keep_seqs: bool = False,
     checkpoint_dir: str | None = None,
+    db_cache: str | None = None,
 ) -> SearchResult:
     """Search a query FASTA (first record) against a database FASTA.
 
@@ -900,7 +904,7 @@ def search_files(
         return search(
             query, read_fasta(db_path), scoring, engine=engine, lanes=lanes
         )
-    db = parse_file(db_path)
+    db = parse_file_cached(db_path, db_cache)
     scores, kernel_time = search_database(
         query_idx, db, scoring, engine=engine, lanes=lanes,
         checkpoint_dir=checkpoint_dir,

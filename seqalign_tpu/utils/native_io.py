@@ -169,6 +169,132 @@ def _parse_file_python(path: str) -> EncodedDatabase:
     )
 
 
+#: Encoded-database cache format (see save_cache/load_cache):
+#:   magic(8) | n | residues | names_bytes | src_size | src_mtime_ns   (int64 LE)
+#:   offsets[(n+1) int64] | names blob ('\n'-terminated) | seq[residues int8]
+#: The seq payload sits LAST so load_cache can expose it as a zero-copy
+#: np.memmap view — a repeat search touches only the pages the kernel
+#: packer actually reads, so "load" is O(header+offsets), not O(database).
+_CACHE_MAGIC = b"SQCDBv1\0"
+_CACHE_HEADER = 8 + 5 * 8
+
+
+def save_cache(
+    db: EncodedDatabase, cache_path: str, src_path: str | None = None
+) -> None:
+    """Write ``db`` to ``cache_path`` in the .sqc binary format.
+
+    ``src_path`` (the FASTA file the db was parsed from) stamps the cache
+    with the source's (size, mtime_ns) so load_cache can detect staleness.
+    The write is atomic (tmp + rename): a crashed writer never leaves a
+    half-cache that a later load would trust.
+    """
+    names = db._names
+    if isinstance(names, list):
+        blob = "".join(f"{s}\n" for s in names)
+    else:
+        blob = names
+    names_b = blob.encode("ascii", errors="replace")
+    src_size = src_mtime = 0
+    if src_path is not None and os.path.isfile(src_path):
+        st = os.stat(src_path)
+        src_size, src_mtime = st.st_size, st.st_mtime_ns
+    head = np.array(
+        [db.n, len(db.seq), len(names_b), src_size, src_mtime],
+        dtype="<i8",
+    )
+    tmp = cache_path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_CACHE_MAGIC)
+        head.tofile(f)
+        np.ascontiguousarray(db.offsets, dtype="<i8").tofile(f)
+        f.write(names_b)
+        np.ascontiguousarray(db.seq, dtype=np.int8).tofile(f)
+    os.replace(tmp, cache_path)
+
+
+def load_cache(
+    cache_path: str, src_path: str | None = None
+) -> EncodedDatabase | None:
+    """Load a .sqc cache; None if absent, unreadable, or stale.
+
+    Staleness: when ``src_path`` names an existing file, its current
+    (size, mtime_ns) must match the stamp written at save time. When the
+    source is gone (a deployment shipping only the cache), the cache is
+    trusted as-is.
+
+    The residue buffer is returned as a read-only np.memmap view: pages
+    fault in on first touch by the stream packer, so loading a multi-GB
+    database costs milliseconds.
+    """
+    try:
+        with open(cache_path, "rb") as f:
+            if f.read(8) != _CACHE_MAGIC:
+                return None
+            head = np.fromfile(f, dtype="<i8", count=5)
+            if head.size != 5:
+                return None
+            n, residues, names_bytes, src_size, src_mtime = (
+                int(x) for x in head
+            )
+            offsets = np.fromfile(f, dtype="<i8", count=n + 1)
+            if offsets.size != n + 1:
+                return None
+            names_blob = f.read(names_bytes)
+            if len(names_blob) != names_bytes:
+                return None
+            seq_off = f.tell()
+        if os.path.getsize(cache_path) != seq_off + residues:
+            return None
+        if src_path is not None and os.path.isfile(src_path):
+            st = os.stat(src_path)
+            if (st.st_size, st.st_mtime_ns) != (src_size, src_mtime):
+                return None  # source changed since the cache was written
+        seq = (
+            np.memmap(
+                cache_path, dtype=np.int8, mode="r", offset=seq_off,
+                shape=(residues,),
+            )
+            if residues
+            else np.zeros(0, dtype=np.int8)
+        )
+        return EncodedDatabase(
+            seq=seq,
+            offsets=offsets,
+            names=names_blob.decode("ascii", errors="replace"),
+        )
+    except OSError:
+        return None
+
+
+def parse_file_cached(path: str, cache: str | None) -> EncodedDatabase:
+    """parse_file with a persistent encoded cache.
+
+    ``cache`` is the .sqc path ("auto" = sidecar ``<path>.sqc``; None =
+    plain parse). A fresh cache is loaded zero-copy; otherwise the FASTA
+    is parsed and the cache (re)written. If the FASTA itself is missing
+    but a cache exists, the cache serves alone — a production deployment
+    can ship only the .sqc.
+    """
+    if cache is None:
+        return parse_file(path)
+    cache_path = path + ".sqc" if cache == "auto" else cache
+    db = load_cache(cache_path, src_path=path)
+    if db is not None:
+        return db
+    db = parse_file(path)
+    try:
+        save_cache(db, cache_path, src_path=path)
+    except OSError as e:
+        import sys
+
+        print(
+            f"Warning: couldn't write database cache {cache_path}: {e}",
+            file=sys.stderr,
+        )
+    return db
+
+
 def _raise_parse_error(err: int, path: str):
     if err == -1:
         raise OSError(f"couldn't read {path}")

@@ -1,5 +1,6 @@
 """Native fastio (C++/ctypes) vs pure-Python reference behavior."""
 
+import os
 import gzip
 
 import numpy as np
@@ -200,3 +201,100 @@ class TestNativePack:
                 db, order, lanes=8, lb_pad=16,
                 out=np.empty((8, 16), dtype=np.int8).T,
             )
+
+
+class TestDbCache:
+    """Persistent encoded-database cache (.sqc): parse once, mmap after."""
+
+    def test_round_trip(self, fasta_file, tmp_path):
+        db = native_io.parse_file(fasta_file)
+        cp = str(tmp_path / "db.sqc")
+        native_io.save_cache(db, cp, src_path=fasta_file)
+        got = native_io.load_cache(cp, src_path=fasta_file)
+        assert got is not None
+        np.testing.assert_array_equal(np.asarray(got.seq), db.seq)
+        np.testing.assert_array_equal(got.offsets, db.offsets)
+        assert got.names == db.names
+        assert isinstance(got.seq, np.memmap)  # zero-copy load
+
+    def test_cached_parse_skips_reparse(self, fasta_file, monkeypatch):
+        cache = fasta_file + ".sqc"
+        db1 = native_io.parse_file_cached(fasta_file, "auto")
+        assert os.path.exists(cache)
+        calls = []
+        real = native_io.parse_file
+        monkeypatch.setattr(
+            native_io, "parse_file",
+            lambda p: calls.append(p) or real(p),
+        )
+        db2 = native_io.parse_file_cached(fasta_file, "auto")
+        assert calls == []  # served from the cache, no reparse
+        np.testing.assert_array_equal(np.asarray(db2.seq), db1.seq)
+        assert db2.names == db1.names
+        os.remove(cache)
+
+    def test_stale_source_rebuilds(self, tmp_path):
+        src = tmp_path / "db.fa"
+        src.write_text(">a\nACDE\n")
+        cp = str(tmp_path / "db.sqc")
+        db1 = native_io.parse_file_cached(str(src), cp)
+        assert db1.n == 1
+        src.write_text(">a\nACDE\n>b\nWWYY\n")
+        os.utime(src, ns=(1, 1))  # force a distinct mtime_ns
+        db2 = native_io.parse_file_cached(str(src), cp)
+        assert db2.n == 2  # stale cache rebuilt from the new FASTA
+        db3 = native_io.load_cache(cp, src_path=str(src))
+        assert db3 is not None and db3.n == 2  # cache was rewritten
+
+    def test_cache_only_deployment(self, tmp_path):
+        """The FASTA may be deleted after caching; the .sqc serves alone."""
+        src = tmp_path / "db.fa"
+        src.write_text(">x\nMKV\n>y\nRNDC\n")
+        cp = str(tmp_path / "db.sqc")
+        native_io.parse_file_cached(str(src), cp)
+        os.remove(src)
+        db = native_io.parse_file_cached(str(src), cp)
+        assert db.n == 2 and db.names == ["x", "y"]
+        assert list(np.diff(db.offsets)) == [3, 4]
+
+    def test_corrupt_cache_rebuilds(self, fasta_file, tmp_path):
+        cp = str(tmp_path / "db.sqc")
+        with open(cp, "wb") as f:
+            f.write(b"garbage")
+        db = native_io.parse_file_cached(fasta_file, cp)
+        want = native_io.parse_file(fasta_file)
+        np.testing.assert_array_equal(np.asarray(db.seq), want.seq)
+        # and the cache was repaired in place
+        assert native_io.load_cache(cp, src_path=fasta_file) is not None
+
+    def test_truncated_cache_rejected(self, fasta_file, tmp_path):
+        cp = str(tmp_path / "db.sqc")
+        db = native_io.parse_file(fasta_file)
+        native_io.save_cache(db, cp, src_path=fasta_file)
+        with open(cp, "r+b") as f:
+            f.truncate(os.path.getsize(cp) - 3)
+        assert native_io.load_cache(cp, src_path=fasta_file) is None
+
+    def test_empty_db(self, tmp_path):
+        src = tmp_path / "empty.fa"
+        src.write_text("")
+        cp = str(tmp_path / "e.sqc")
+        try:
+            db = native_io.parse_file(str(src))
+        except ValueError:
+            pytest.skip("parser rejects empty files")
+        native_io.save_cache(db, cp, src_path=str(src))
+        got = native_io.load_cache(cp, src_path=str(src))
+        assert got is not None and got.n == 0 and got.names == []
+
+    def test_pack_batch_from_memmap(self, fasta_file, tmp_path):
+        """The stream packer reads straight out of the mmapped cache."""
+        db = native_io.parse_file(fasta_file)
+        cp = str(tmp_path / "db.sqc")
+        native_io.save_cache(db, cp, src_path=fasta_file)
+        got = native_io.load_cache(cp, src_path=fasta_file)
+        order = np.argsort(-db.lengths, kind="stable")[:8]
+        lb_pad = int(db.lengths.max()) + 1
+        a = native_io.pack_batch(db, order, lanes=8, lb_pad=lb_pad)
+        b = native_io.pack_batch(got, order, lanes=8, lb_pad=lb_pad)
+        np.testing.assert_array_equal(a, b)

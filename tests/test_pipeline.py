@@ -982,3 +982,21 @@ class TestCliExtensions:
             l for l in s.splitlines() if not l.startswith("Total Time")
         ]
         assert strip(a) == strip(b)
+
+
+class TestDbCacheCli:
+    def test_db_cache_identical_output(self, fasta_pair, tmp_path):
+        """--db-cache: cold run builds the .sqc, warm run serves from it,
+        output identical either way (scores, names, entry order)."""
+        import os
+        import re
+
+        qp, dp = fasta_pair
+        base = ["--files", qp, dp, "--engine", "wavefront", "--lanes", "8"]
+        _, want, _ = run_cli(base, tmp_path)
+        code, cold, _ = run_cli(base + ["--db-cache", "auto"], tmp_path)
+        assert code == 0 and os.path.exists(dp + ".sqc")
+        code, warm, _ = run_cli(base + ["--db-cache", "auto"], tmp_path)
+        assert code == 0
+        strip = lambda s: re.sub(r"Total Time:.*", "", s)
+        assert strip(cold) == strip(want) == strip(warm)
