@@ -218,6 +218,10 @@ def main() -> int:
             cands += [
                 KernelConfig(nw=5, jb=8, ui=2, ic=lqe2, pipe=6, pack=2),
                 KernelConfig(nw=5, jb=8, ui=2, ic=lqe4, pipe=6, pack=4),
+                # packing shrinks s_buf 4x: spend the freed VMEM on more
+                # interleaved chains (the const-S ceiling is ILP-bound)
+                KernelConfig(nw=8, jb=8, ui=2, ic=lqe4, pipe=6, pack=4),
+                KernelConfig(nw=10, jb=4, ui=2, ic=lqe4, pipe=6, pack=4),
             ]
         else:
             # lq=144 sweep: packing pays ONLY at full dot height

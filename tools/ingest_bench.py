@@ -99,7 +99,26 @@ def main() -> int:
             args.reps,
         )
         t_ingest = t_parse + t_pack
-        for name, t in (("parse", t_parse), ("pack", t_pack), ("ingest", t_ingest)):
+
+        # cache — warm-start path: load the .sqc sidecar instead of
+        # parsing (mmap header+offsets+names; residue pages fault in
+        # lazily, here forced resident by a full checksum touch so the
+        # number is an honest full-read rate, not a lazy-load trick).
+        cache_path = path + ".benchsqc"
+        native_io.save_cache(db, cache_path, src_path=path)
+
+        def load_all():
+            d = native_io.load_cache(cache_path, src_path=path)
+            assert d is not None
+            int(np.asarray(d.seq, dtype=np.int8).sum(dtype=np.int64))
+
+        t_cache = best_of(load_all, args.reps)
+        os.unlink(cache_path)
+
+        for name, t in (
+            ("parse", t_parse), ("pack", t_pack), ("ingest", t_ingest),
+            ("cache_load", t_cache),
+        ):
             print(
                 json.dumps(
                     {
