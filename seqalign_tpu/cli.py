@@ -354,7 +354,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         return _run_multihost(
             file1, file2, scoring, topk, minscore, as_json,
-            hosts, host_id, coordinator,
+            hosts, host_id, coordinator, db_cache=db_cache,
         )
 
     if not all_queries and not first_query and file1 != "-":
@@ -392,6 +392,19 @@ def main(argv: list[str] | None = None) -> int:
             file1, file2, scoring, engine, lanes, align_k, as_json,
             db_cache=db_cache,
         )
+
+    if db_cache is not None and (stream_chunk is not None or print_seq):
+        # stream-chunk re-reads the FASTA incrementally (bounded memory)
+        # and --printseq needs the original sequence strings, which the
+        # encoded cache does not keep. Say so rather than silently
+        # dropping the flag (a cache-only deployment would otherwise fail
+        # confusingly in these modes).
+        sys.stderr.write(
+            "Note: --db-cache is ignored with "
+            + ("--stream-chunk" if stream_chunk is not None else "--printseq")
+            + " (these modes read the FASTA directly).\n"
+        )
+        db_cache = None
 
     tracing = False
     if trace_dir is not None:
@@ -563,6 +576,7 @@ def _run_align(
 def _run_multihost(
     file1, file2, scoring, topk, minscore, as_json, hosts, host_id,
     coordinator,
+    db_cache=None,
 ) -> int:
     """--hosts mode: this process joins a multi-host search as one worker.
 
@@ -579,7 +593,7 @@ def _run_multihost(
     scores, kernel_time = multihost_search(
         query_idx, file2, scoring,
         coordinator_address=coordinator, num_processes=hosts,
-        process_id=host_id,
+        process_id=host_id, db_cache=db_cache,
     )
     if host_id != 0:
         return 0

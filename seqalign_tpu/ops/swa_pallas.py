@@ -126,7 +126,7 @@ def _run_block(
     bnd=None,
     pipe: int = 0,
     pack: int = 1,
-    upk: str = "floor",
+    upk: str | None = None,  # None = PRODUCTION_UPK (resolved by wrappers)
     const_s: bool = False,
 ):
     """Advance the DP over one j-block (JB db positions x all query rows).
@@ -800,7 +800,7 @@ def sw_pallas_windows(
     ui: int = DEFAULT_UI,
     pipe: int = 0,
     pack: int = 1,
-    upk: str = "floor",
+    upk: str | None = None,  # None = PRODUCTION_UPK (resolved by wrappers)
     const_s: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
@@ -826,6 +826,8 @@ def sw_pallas_windows(
     """
     if ge < go:
         raise ValueError(f"G-form kernel requires ge >= go (got {go=}, {ge=})")
+    if upk is None:
+        upk = PRODUCTION_UPK  # the production extraction-mode constant
     multi = profile.ndim == 3
     nq = profile.shape[0] if multi else 1
     lq = profile.shape[-2]
@@ -941,7 +943,7 @@ def sw_pallas_stream(
     ui: int = DEFAULT_UI,
     pipe: int = 0,
     pack: int = 1,
-    upk: str = "floor",
+    upk: str | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Score one or more queries against a segmented database in one dispatch.
@@ -963,6 +965,8 @@ def sw_pallas_stream(
     """
     if ge < go:
         raise ValueError(f"G-form kernel requires ge >= go (got {go=}, {ge=})")
+    if upk is None:
+        upk = PRODUCTION_UPK  # the production extraction-mode constant
     multi = profile.ndim == 3
     nq = profile.shape[0] if multi else 1
     lq = profile.shape[-2]
@@ -1179,7 +1183,7 @@ def sw_pallas_stream_striped(
     stripe_rows: int = STRIPE_ROWS,
     pipe: int = 0,
     pack: int = 1,
-    upk: str = "floor",
+    upk: str | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Segmented-stream scoring for queries of ANY length via row striping.
@@ -1197,6 +1201,8 @@ def sw_pallas_stream_striped(
     """
     if ge < go:
         raise ValueError(f"G-form kernel requires ge >= go (got {go=}, {ge=})")
+    if upk is None:
+        upk = PRODUCTION_UPK  # the production extraction-mode constant
     lq = int(profile.shape[0])
     if ic is None:
         ic = ui
@@ -1302,6 +1308,7 @@ def sw_pallas_multi(
         ic=cfg.ic,
         pipe=cfg.pipe,
         pack=cfg.pack,
+        upk=cfg.upk,
         interpret=interpret,
     )
 

@@ -83,6 +83,7 @@ def multihost_search(
     process_id: int | None = None,
     k: int | None = None,
     engine_fn: Callable | None = None,
+    db_cache: str | None = None,
 ) -> tuple[np.ndarray, float] | tuple[np.ndarray, np.ndarray, float]:
     """Search one query against a FASTA database striped across hosts.
 
@@ -115,14 +116,26 @@ def multihost_search(
     nproc = jax.process_count()
 
     # Read only this host's stripe; record global stream positions.
+    # With db_cache, the stripe comes as zero-copy views of the mmapped
+    # .sqc — a cold multi-host start otherwise re-parses the WHOLE FASTA
+    # on every host just to keep 1/nproc of it.
     encoded: list[np.ndarray] = []
     gids: list[int] = []
     n_total = 0
-    for i, rec in enumerate(read_fasta(db_path)):
-        n_total = i + 1
-        if i % nproc == pid:
-            encoded.append(encode(rec.seq))
+    if db_cache is not None:
+        from ..utils.native_io import parse_file_cached
+
+        full = parse_file_cached(db_path, db_cache)
+        n_total = full.n
+        for i in range(pid, n_total, nproc):
+            encoded.append(full.record(i))
             gids.append(i)
+    else:
+        for i, rec in enumerate(read_fasta(db_path)):
+            n_total = i + 1
+            if i % nproc == pid:
+                encoded.append(encode(rec.seq))
+                gids.append(i)
 
     from ..pipeline import _db_from_encoded
 

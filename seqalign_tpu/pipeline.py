@@ -31,7 +31,7 @@ from .models.alphabet import encode
 from .models.scoring import ScoringModel
 from .utils.fasta import SeqRecord, read_fasta, read_first
 from .utils.native_io import (
-    EncodedDatabase, pack_batch, parse_file, parse_file_cached,
+    EncodedDatabase, pack_batch, parse_file_cached,
 )
 from .utils.packing import lattice_round_up
 

@@ -194,7 +194,7 @@ def save_cache(
         blob = "".join(f"{s}\n" for s in names)
     else:
         blob = names
-    names_b = blob.encode("ascii", errors="replace")
+    names_b = blob.encode("utf-8", errors="replace")
     src_size = src_mtime = 0
     if src_path is not None and os.path.isfile(src_path):
         st = os.stat(src_path)
@@ -203,14 +203,28 @@ def save_cache(
         [db.n, len(db.seq), len(names_b), src_size, src_mtime],
         dtype="<i8",
     )
-    tmp = cache_path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(_CACHE_MAGIC)
-        head.tofile(f)
-        np.ascontiguousarray(db.offsets, dtype="<i8").tofile(f)
-        f.write(names_b)
-        np.ascontiguousarray(db.seq, dtype=np.int8).tofile(f)
-    os.replace(tmp, cache_path)
+    # Private mkstemp tmp (not a shared fixed name): concurrent writers
+    # each build their own file and the LAST os.replace wins whole, so no
+    # interleaved-write torn cache can ever be published.
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(os.path.abspath(cache_path)), suffix=".sqctmp"
+    )
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(_CACHE_MAGIC)
+            head.tofile(f)
+            np.ascontiguousarray(db.offsets, dtype="<i8").tofile(f)
+            f.write(names_b)
+            np.ascontiguousarray(db.seq, dtype=np.int8).tofile(f)
+        os.replace(tmp, cache_path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_cache(
@@ -228,6 +242,7 @@ def load_cache(
     database costs milliseconds.
     """
     try:
+        file_size = os.path.getsize(cache_path)
         with open(cache_path, "rb") as f:
             if f.read(8) != _CACHE_MAGIC:
                 return None
@@ -237,15 +252,30 @@ def load_cache(
             n, residues, names_bytes, src_size, src_mtime = (
                 int(x) for x in head
             )
+            # Bound every header field by the file's actual size BEFORE
+            # allocating from it: a corrupt header must mean "rebuild"
+            # (return None), never a giant np allocation or a crash.
+            if (
+                n < 0 or residues < 0 or names_bytes < 0
+                or _CACHE_HEADER + 8 * (n + 1) + names_bytes + residues
+                != file_size
+            ):
+                return None
             offsets = np.fromfile(f, dtype="<i8", count=n + 1)
             if offsets.size != n + 1:
+                return None
+            # The native packer dereferences offsets raw; reject any
+            # out-of-range or non-monotonic table up front.
+            if (
+                offsets[0] != 0
+                or offsets[-1] != residues
+                or (np.diff(offsets) < 0).any()
+            ):
                 return None
             names_blob = f.read(names_bytes)
             if len(names_blob) != names_bytes:
                 return None
             seq_off = f.tell()
-        if os.path.getsize(cache_path) != seq_off + residues:
-            return None
         if src_path is not None and os.path.isfile(src_path):
             st = os.stat(src_path)
             if (st.st_size, st.st_mtime_ns) != (src_size, src_mtime):
@@ -261,10 +291,10 @@ def load_cache(
         return EncodedDatabase(
             seq=seq,
             offsets=offsets,
-            names=names_blob.decode("ascii", errors="replace"),
+            names=names_blob.decode("utf-8", errors="replace"),
         )
-    except OSError:
-        return None
+    except (OSError, ValueError, MemoryError, OverflowError):
+        return None  # unreadable/corrupt cache: caller rebuilds
 
 
 def parse_file_cached(path: str, cache: str | None) -> EncodedDatabase:

@@ -160,3 +160,30 @@ class TestMultihost:
         got, _ = multihost_search(q, dp, blosum62, engine_fn=engine_fn)
         want = search_files(qp, dp, blosum62, engine="wavefront").scores
         np.testing.assert_array_equal(got, want)
+
+    def test_single_process_db_cache(self, rng, blosum62, tmp_path):
+        """db_cache stripe (mmapped .sqc views) scores identically to the
+        FASTA-reader stripe."""
+        import functools
+        import os
+
+        from seqalign_tpu.ops.swa_pallas import sw_pallas_stream
+        from seqalign_tpu.parallel.multihost import multihost_search
+        from seqalign_tpu.utils.fasta import read_first
+
+        qp, dp = _write_fixtures(rng, tmp_path, n_records=150)
+        q = blosum62.query_indices(read_first(qp).seq)
+        engine_fn = functools.partial(sw_pallas_stream, interpret=True)
+        plain, _ = multihost_search(q, dp, blosum62, engine_fn=engine_fn)
+        cp = str(tmp_path / "db.sqc")
+        cached, _ = multihost_search(
+            q, dp, blosum62, engine_fn=engine_fn, db_cache=cp
+        )
+        assert os.path.exists(cp)
+        np.testing.assert_array_equal(cached, plain)
+        # warm: served from the cache alone
+        os.remove(dp)
+        warm, _ = multihost_search(
+            q, dp, blosum62, engine_fn=engine_fn, db_cache=cp
+        )
+        np.testing.assert_array_equal(warm, plain)

@@ -298,3 +298,47 @@ class TestDbCache:
         a = native_io.pack_batch(db, order, lanes=8, lb_pad=lb_pad)
         b = native_io.pack_batch(got, order, lanes=8, lb_pad=lb_pad)
         np.testing.assert_array_equal(a, b)
+
+    def test_corrupt_header_fields_rejected(self, fasta_file, tmp_path):
+        """Garbage header counts (e.g. n=2**40) must mean None/rebuild,
+        never a giant allocation or MemoryError escaping load_cache."""
+        db = native_io.parse_file(fasta_file)
+        cp = str(tmp_path / "db.sqc")
+        native_io.save_cache(db, cp, src_path=fasta_file)
+        raw = bytearray(open(cp, "rb").read())
+        for field, val in ((0, 2**40), (0, -1), (1, -5), (2, 2**50)):
+            bad = bytearray(raw)
+            bad[8 + 8 * field : 16 + 8 * field] = int(val).to_bytes(
+                8, "little", signed=True
+            )
+            open(cp, "wb").write(bad)
+            assert native_io.load_cache(cp, src_path=fasta_file) is None
+
+    def test_corrupt_offsets_rejected(self, fasta_file, tmp_path):
+        """Non-monotonic or out-of-range offsets are rejected before the
+        native packer could dereference them."""
+        db = native_io.parse_file(fasta_file)
+        cp = str(tmp_path / "db.sqc")
+        bad = native_io.EncodedDatabase(
+            seq=db.seq, offsets=db.offsets.copy(), names=db.names
+        )
+        bad.offsets[1] = -7  # negative / non-monotonic
+        native_io.save_cache(bad, cp, src_path=fasta_file)
+        assert native_io.load_cache(cp, src_path=fasta_file) is None
+        bad.offsets[:] = db.offsets
+        bad.offsets[-1] = db.offsets[-1] + 9  # walks past the seq buffer
+        native_io.save_cache(bad, cp, src_path=fasta_file)
+        assert native_io.load_cache(cp, src_path=fasta_file) is None
+
+    def test_unicode_names_round_trip(self, tmp_path):
+        """Names survive the cache byte-exactly (UTF-8), so cold and warm
+        runs print identical headers even for non-ASCII FASTA."""
+        db = native_io.EncodedDatabase(
+            seq=np.array([1, 2, 3], dtype=np.int8),
+            offsets=np.array([0, 3], dtype=np.int64),
+            names=["héllo désc"],
+        )
+        cp = str(tmp_path / "u.sqc")
+        native_io.save_cache(db, cp)
+        got = native_io.load_cache(cp)
+        assert got is not None and got.names == ["héllo désc"]
