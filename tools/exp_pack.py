@@ -222,6 +222,7 @@ def main() -> int:
                 # interleaved chains (the const-S ceiling is ILP-bound)
                 KernelConfig(nw=8, jb=8, ui=2, ic=lqe4, pipe=6, pack=4),
                 KernelConfig(nw=10, jb=4, ui=2, ic=lqe4, pipe=6, pack=4),
+                KernelConfig(nw=4, jb=16, ui=2, ic=lqe4, pipe=6, pack=4),
             ]
         else:
             # lq=144 sweep: packing pays ONLY at full dot height
@@ -241,6 +242,10 @@ def main() -> int:
                     KernelConfig(nw=4, jb=4, ui=16, ic=lqp4, pipe=6, pack=4),
                     KernelConfig(nw=2, jb=8, ui=16, ic=lqp4, pipe=6, pack=4),
                     KernelConfig(nw=3, jb=4, ui=16, ic=lqp4, pipe=6, pack=4),
+                    # 32 register chains — the const-S 469-GCUPS chain
+                    # count, reachable only because pack=4 shrinks s_buf
+                    KernelConfig(nw=2, jb=16, ui=16, ic=lqp4, pipe=6,
+                                 pack=4),
                 ]
         seen = set()
         for cfg in cands:
