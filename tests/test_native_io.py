@@ -342,3 +342,18 @@ class TestDbCache:
         native_io.save_cache(db, cp)
         got = native_io.load_cache(cp)
         assert got is not None and got.names == ["héllo désc"]
+
+    def test_gzip_source_cached(self, fasta_file, tmp_path):
+        """A gzip FASTA caches like a plain one (fingerprint is on the
+        .gz file); warm load skips the decompress+parse entirely."""
+        import gzip as _gz
+
+        gz = str(tmp_path / "db.fa.gz")
+        with open(fasta_file, "rb") as src, _gz.open(gz, "wb") as dst:
+            dst.write(src.read())
+        cp = str(tmp_path / "db.sqc")
+        db1 = native_io.parse_file_cached(gz, cp)
+        db2 = native_io.load_cache(cp, src_path=gz)
+        assert db2 is not None
+        np.testing.assert_array_equal(np.asarray(db2.seq), np.asarray(db1.seq))
+        assert db2.names == db1.names
