@@ -233,6 +233,7 @@ def main() -> None:
     go, ge = sc.gap_open_total, sc.gap_extend
 
     n = N_ENTRIES if backend == "tpu" else 20_000
+    n = int(os.environ.get("SEQALIGN_BENCH_ENTRIES", n))  # test override
     lengths = np.clip(
         rng.gamma(shape=1.8, scale=202.0, size=n).astype(np.int64), 2, 35_000
     )
@@ -503,12 +504,15 @@ def _result_line(
         detail["optional_points_skipped"] = skip_reason
     if program_load_s is not None:
         detail["program_load_s_untimed"] = round(program_load_s, 1)
+    # 1-decimal rounding is right at TPU scale but collapses tiny CPU
+    # smoke-run rates to 0.0; keep 4 significant-ish decimals when small.
+    prec = 1 if gcups >= 10 else 4
     return json.dumps(
         {
             "metric": "swissprot_scale_search_gcups",
-            "value": round(gcups, 1),
+            "value": round(gcups, prec),
             "unit": "GCUPS",
-            "vs_baseline": round(gcups / BASELINE_GCUPS, 2),
+            "vs_baseline": round(gcups / BASELINE_GCUPS, max(2, prec)),
             "detail": detail,
         }
     )

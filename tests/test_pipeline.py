@@ -1000,3 +1000,33 @@ class TestDbCacheCli:
         assert code == 0
         strip = lambda s: re.sub(r"Total Time:.*", "", s)
         assert strip(cold) == strip(want) == strip(warm)
+
+
+def test_bench_harness_smoke():
+    """bench.py (the driver's official harness) must always emit ONE
+    parseable JSON line on the CPU fallback — bit-rot here is what cost
+    round 2 its scoreboard entry (BENCH_r02 rc=124)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    env = dict(
+        os.environ,
+        SEQALIGN_PLATFORM="cpu",
+        SEQALIGN_BENCH_ENTRIES="400",
+        SEQALIGN_BENCH_BUDGET_S="240",
+    )
+    out = subprocess.run(
+        [sys.executable, str(repo / "bench.py")],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=280,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, out.stdout
+    d = json.loads(lines[0])
+    assert d["metric"] == "swissprot_scale_search_gcups"
+    assert d["unit"] == "GCUPS" and d["value"] > 0
+    assert d["detail"]["backend"] == "cpu"
