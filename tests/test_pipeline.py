@@ -1030,3 +1030,32 @@ def test_bench_harness_smoke():
     assert d["metric"] == "swissprot_scale_search_gcups"
     assert d["unit"] == "GCUPS" and d["value"] > 0
     assert d["detail"]["backend"] == "cpu"
+
+
+def test_align_with_db_cache(tmp_path, rng):
+    """--align served from the mmapped cache: traceback reads db.record
+    views of the memmap; alignments identical to the direct-parse run."""
+    import json
+
+    q = tmp_path / "q.fa"
+    q.write_text(">q\nMKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ\n")
+    d = tmp_path / "d.fa"
+    lines = []
+    for k in range(12):
+        lines.append(f">e{k}")
+        lines.append(random_protein(rng, int(rng.integers(10, 60))))
+    d.write_text("\n".join(lines) + "\n")
+    base = ["--engine", "wavefront", "--align", "3", "--json",
+            "--files", str(q), str(d)]
+    code, want, _ = run_cli(base, tmp_path)
+    assert code == 0
+    cp = str(tmp_path / "d.sqc")
+    code, cold, _ = run_cli(base + ["--db-cache", cp], tmp_path)
+    assert code == 0
+    code, warm, _ = run_cli(base + ["--db-cache", cp], tmp_path)
+    assert code == 0
+    strip = lambda s: {
+        k: v for k, v in json.loads(s.splitlines()[-1]).items()
+        if k != "total_time"
+    }
+    assert strip(cold) == strip(want) == strip(warm)
