@@ -393,16 +393,14 @@ def main(argv: list[str] | None = None) -> int:
             db_cache=db_cache,
         )
 
-    if db_cache is not None and (stream_chunk is not None or print_seq):
-        # stream-chunk re-reads the FASTA incrementally (bounded memory)
-        # and --printseq needs the original sequence strings, which the
+    if db_cache is not None and print_seq:
+        # --printseq needs the original sequence strings, which the
         # encoded cache does not keep. Say so rather than silently
         # dropping the flag (a cache-only deployment would otherwise fail
-        # confusingly in these modes).
+        # confusingly here).
         sys.stderr.write(
-            "Note: --db-cache is ignored with "
-            + ("--stream-chunk" if stream_chunk is not None else "--printseq")
-            + " (these modes read the FASTA directly).\n"
+            "Note: --db-cache is ignored with --printseq (it needs the "
+            "FASTA's original sequence text).\n"
         )
         db_cache = None
 
@@ -422,6 +420,7 @@ def main(argv: list[str] | None = None) -> int:
             result = search_files_streaming(
                 file1, file2, scoring, engine=engine, lanes=lanes,
                 chunk_records=stream_chunk, checkpoint_dir=checkpoint,
+                db_cache=db_cache,
             )
         else:
             result = search_files(

@@ -832,6 +832,7 @@ def search_files_streaming(
     lanes: int | None = None,
     chunk_records: int = 512 * 1024,
     checkpoint_dir: str | None = None,
+    db_cache: str | None = None,
 ) -> SearchResult:
     """Bounded-memory search: stream the database in record chunks.
 
@@ -843,20 +844,47 @@ def search_files_streaming(
     names + scores — the ingest runs through the native chunked reader
     (``native_io.stream_chunks``) at the same rate as the whole-file
     parser. Scores are identical to the non-streaming path.
+
+    ``db_cache``: when a FRESH .sqc cache exists ("auto" = sidecar), the
+    chunks are zero-copy views of the mmap (``iter_cache_chunks``) — the
+    OS pages residues in and evicts behind the scan, so memory stays
+    bounded AND the FASTA is never re-read (cache-only deployments
+    stream too). A missing/stale cache falls back to the FASTA reader;
+    it is NOT built here (building one needs a whole-file parse, which
+    would defeat this mode's memory bound — run a plain search once, or
+    save_cache explicitly, to create it).
     """
     import os
 
-    from .utils.native_io import stream_chunks
+    from .utils.native_io import iter_cache_chunks, load_cache, stream_chunks
 
     query = read_first(query_path)
     query_idx = scoring.query_indices(query.seq)
     _warn_padding(scoring, query_idx)
 
+    chunk_iter = None
+    if db_cache is not None:
+        cache_path = db_path + ".sqc" if db_cache == "auto" else db_cache
+        cached = load_cache(cache_path, src_path=db_path)
+        if cached is not None:
+            chunk_iter = iter_cache_chunks(cached, chunk_records)
+        else:
+            import sys
+
+            print(
+                f"Note: database cache {cache_path} absent or stale; "
+                "streaming from the FASTA (a streaming run does not "
+                "build caches).",
+                file=sys.stderr,
+            )
+    if chunk_iter is None:
+        chunk_iter = stream_chunks(db_path, chunk_records)
+
     names: list[str] = []
     chunks: list[np.ndarray] = []
     kernel_time = 0.0
 
-    for k, db in enumerate(stream_chunks(db_path, chunk_records)):
+    for k, db in enumerate(chunk_iter):
         ck = (
             os.path.join(checkpoint_dir, f"part{k}") if checkpoint_dir else None
         )

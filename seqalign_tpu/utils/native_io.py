@@ -325,6 +325,23 @@ def parse_file_cached(path: str, cache: str | None) -> EncodedDatabase:
     return db
 
 
+def iter_cache_chunks(db: EncodedDatabase, chunk_records: int):
+    """Yield <= chunk_records-record EncodedDatabase views of ``db``.
+
+    With a load_cache database the views stay zero-copy slices of the
+    mmap, so a streaming search over a cache touches each residue page
+    once and the OS evicts behind it — bounded memory without the FASTA
+    re-read that stream_chunks needs.
+    """
+    for s in range(0, db.n, chunk_records):
+        e = min(db.n, s + chunk_records)
+        yield EncodedDatabase(
+            seq=db.seq[db.offsets[s] : db.offsets[e]],
+            offsets=db.offsets[s : e + 1] - db.offsets[s],
+            names=db.names[s:e],
+        )
+
+
 def _raise_parse_error(err: int, path: str):
     if err == -1:
         raise OSError(f"couldn't read {path}")

@@ -1059,3 +1059,41 @@ def test_align_with_db_cache(tmp_path, rng):
         if k != "total_time"
     }
     assert strip(cold) == strip(want) == strip(warm)
+
+
+def test_streaming_over_cache_matches(tmp_path, rng, blosum62):
+    """Streaming chunks served as mmap views of the .sqc == FASTA
+    streaming == one-shot, including cache-only (FASTA deleted)."""
+    import os
+
+    from seqalign_tpu.pipeline import search_files, search_files_streaming
+    from seqalign_tpu.utils.native_io import parse_file_cached
+
+    q = tmp_path / "q.fa"
+    q.write_text(">q\n" + random_protein(rng, 21) + "\n")
+    d = tmp_path / "d.fa"
+    lines = []
+    for k in range(300):
+        lines.append(f">e{k}")
+        lines.append(random_protein(rng, int(rng.integers(4, 50))))
+    d.write_text("\n".join(lines) + "\n")
+    cp = str(tmp_path / "d.sqc")
+    parse_file_cached(str(d), cp)  # build the cache
+
+    want = search_files(str(q), str(d), blosum62, engine="wavefront")
+    plain = search_files_streaming(
+        str(q), str(d), blosum62, engine="wavefront", chunk_records=64,
+    )
+    cached = search_files_streaming(
+        str(q), str(d), blosum62, engine="wavefront", chunk_records=64,
+        db_cache=cp,
+    )
+    np.testing.assert_array_equal(plain.scores, want.scores)
+    np.testing.assert_array_equal(cached.scores, want.scores)
+    assert cached.names == want.names
+    os.remove(d)  # cache-only deployment streams too
+    only = search_files_streaming(
+        str(q), str(d), blosum62, engine="wavefront", chunk_records=77,
+        db_cache=cp,
+    )
+    np.testing.assert_array_equal(only.scores, want.scores)
