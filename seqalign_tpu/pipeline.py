@@ -884,7 +884,37 @@ def search_files_streaming(
     chunks: list[np.ndarray] = []
     kernel_time = 0.0
 
-    for k, db in enumerate(chunk_iter):
+    # One-deep ingest prefetch: the host parses/encodes chunk k+1 while
+    # the device scores chunk k. Both sides release the GIL (ctypes C
+    # calls; device fetches), so a plain thread genuinely overlaps them —
+    # the measured host ingest rate is ~3x slower than the lq=144 kernel
+    # consumes residues, so this hides most of the host cost. Memory
+    # bound becomes two chunks (one scoring + one staged).
+    import queue as _queue
+    import threading as _threading
+
+    _q: _queue.Queue = _queue.Queue(maxsize=1)
+
+    def _producer():
+        try:
+            for item in chunk_iter:
+                _q.put(item)
+            _q.put(None)
+        except BaseException as e:  # surface parse errors on the consumer
+            _q.put(e)
+
+    _threading.Thread(target=_producer, daemon=True).start()
+
+    def _consume():
+        while True:
+            item = _q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    for k, db in enumerate(_consume()):
         ck = (
             os.path.join(checkpoint_dir, f"part{k}") if checkpoint_dir else None
         )

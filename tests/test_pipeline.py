@@ -1097,3 +1097,24 @@ def test_streaming_over_cache_matches(tmp_path, rng, blosum62):
         db_cache=cp,
     )
     np.testing.assert_array_equal(only.scores, want.scores)
+
+
+def test_streaming_prefetch_error_propagates(tmp_path, rng, blosum62):
+    """A parse error mid-stream (illegal residue in a later chunk) must
+    surface on the consumer thread as the usual ValueError, not hang or
+    die silently in the prefetch thread."""
+    from seqalign_tpu.pipeline import search_files_streaming
+
+    q = tmp_path / "q.fa"
+    q.write_text(">q\n" + random_protein(rng, 12) + "\n")
+    d = tmp_path / "d.fa"
+    lines = []
+    for k in range(120):
+        lines.append(f">e{k}")
+        lines.append(random_protein(rng, 20))
+    lines += [">bad", "AC1DE"]  # digit: illegal for the matrix alphabet
+    d.write_text("\n".join(lines) + "\n")
+    with pytest.raises(ValueError):
+        search_files_streaming(
+            str(q), str(d), blosum62, engine="wavefront", chunk_records=32,
+        )
