@@ -10,10 +10,14 @@ native:
 test:
 	python -m pytest tests/ -q
 
+# per-commit tier (<60 s); `make test` runs the full differential matrix
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
+
 bench:
 	python bench.py
 
 clean:
 	$(MAKE) -C native clean
 
-.PHONY: all native test bench clean
+.PHONY: all native test test-fast bench clean
