@@ -17,7 +17,13 @@ test-fast:
 bench:
 	python bench.py
 
+# Tiny-shape hardware rehearsal of the FULL two-program bench path (<60 s
+# warm). Run before every round's official capture so the official run is
+# never the first hardware execution of a changed bench (round-2 lesson).
+bench-rehearse:
+	python bench.py --rehearse
+
 clean:
 	$(MAKE) -C native clean
 
-.PHONY: all native test test-fast bench clean
+.PHONY: all native test test-fast bench bench-rehearse clean

@@ -82,6 +82,26 @@ AA_FREQS = AA_FREQS / AA_FREQS.sum()
 
 _T0 = time.time()
 _BUDGET_S = float(os.environ.get("SEQALIGN_BENCH_BUDGET_S", "780"))
+# --rehearse: full two-program hardware path at tiny scale (<60 s warm).
+# The official capture must never be the first hardware execution of a
+# changed bench (round-2 lesson): `make bench-rehearse` before each round's
+# driver run. Result lines are tagged detail.rehearsal so they cannot be
+# mistaken for the official number.
+_REHEARSE = "--rehearse" in sys.argv[1:]
+
+# Best builder-measured numbers to date, carried as provenance when an
+# outage nulls the official line (round-3 VERDICT item 1 fallback): the
+# scoreboard then shows where the last real measurement lives instead of a
+# bare null.
+_LAST_MEASURED = {
+    "round": 3,
+    "value": 232.4,
+    "unit": "GCUPS",
+    "tool": "tools/exp_pack.py (builder-run, lq=144 pack=4 full-height)",
+    "end_to_end_value": 202.6,
+    "end_to_end_tool": "bench.py (builder-run, round 2; docs/DESIGN.md "
+    "'End-to-end')",
+}
 # RLock: the SIGTERM handler runs _emit_best_and_exit on the MAIN thread;
 # a plain Lock would deadlock if the signal lands inside a _stash().
 _EMIT_LOCK = threading.RLock()
@@ -203,7 +223,8 @@ def main() -> None:
                                     "budget (subprocess probes, 150 s "
                                     "timeout each)"
                                 ),
-                                "outage_log": "docs/ROUND3.md",
+                                "outage_log": "docs/outage/",
+                                "last_measured": _LAST_MEASURED,
                             },
                         }
                     )
@@ -233,6 +254,8 @@ def main() -> None:
     go, ge = sc.gap_open_total, sc.gap_extend
 
     n = N_ENTRIES if backend == "tpu" else 20_000
+    if _REHEARSE:
+        n = 4096  # tiny shapes, same programs/packing/timing structure
     n = int(os.environ.get("SEQALIGN_BENCH_ENTRIES", n))  # test override
     lengths = np.clip(
         rng.gamma(shape=1.8, scale=202.0, size=n).astype(np.int64), 2, 35_000
@@ -367,6 +390,8 @@ def main() -> None:
     short = mq = None
     skip_reason = None
     est_next_load = max(2.5 * program_load_s, 90.0)
+    if _REHEARSE:
+        est_next_load = 0.0  # rehearsal must exercise BOTH programs
     if _remaining() > est_next_load:
         try:
             short, mq = _short_and_mq_points(
@@ -498,6 +523,11 @@ def _result_line(
         "multi_query_point": mq,
         "multi_chip_scaling_tool": "tools/scaling_check.py",
     }
+    if _REHEARSE:
+        detail["rehearsal"] = (
+            "tiny-shape hardware rehearsal (--rehearse); NOT the official "
+            "Swiss-Prot-scale number"
+        )
     if provisional:
         detail["provisional"] = provisional
     if skip_reason:
