@@ -25,6 +25,7 @@
 //    tile's rows are flushed with contiguous copies, keeping every DRAM
 //    access sequential.
 
+#include <unistd.h>  // dup (non-seekable-input gzdopen route)
 #include <zlib.h>
 
 #include <cstdint>
@@ -62,9 +63,7 @@ struct ParseResult {
   int64_t n = 0;
 };
 
-bool read_all_gz(const char* path, std::string* out) {
-  gzFile f = gzopen(path, "rb");
-  if (f == nullptr) return false;
+bool read_all_gzfile(gzFile f, std::string* out) {
   gzbuffer(f, 1 << 20);
   char buf[1 << 20];
   int n;
@@ -74,12 +73,26 @@ bool read_all_gz(const char* path, std::string* out) {
   return ok;
 }
 
+bool read_all_gz(const char* path, std::string* out) {
+  gzFile f = gzopen(path, "rb");
+  if (f == nullptr) return false;
+  return read_all_gzfile(f, out);
+}
+
 // Reads the whole file. Gzip (magic 1f 8b) goes through zlib; plain files
-// are read with a single sized fread (falling back to chunked reads for
-// non-seekable inputs such as pipes).
+// are read with a single sized fread. Non-seekable inputs (FIFOs/pipes)
+// cannot afford the 2-byte magic probe (the bytes would be lost on
+// reopen), so they hand their descriptor straight to zlib, which reads
+// gzip AND plain data transparently.
 bool read_all(const char* path, std::string* out) {
   FILE* f = fopen(path, "rb");
   if (f == nullptr) return false;
+  if (fseek(f, 0, SEEK_CUR) != 0) {  // non-seekable
+    gzFile g = gzdopen(dup(fileno(f)), "rb");
+    fclose(f);
+    if (g == nullptr) return false;
+    return read_all_gzfile(g, out);
+  }
   unsigned char magic[2];
   const size_t m = fread(magic, 1, 2, f);
   if (m == 2 && magic[0] == 0x1f && magic[1] == 0x8b) {
@@ -96,6 +109,7 @@ bool read_all(const char* path, std::string* out) {
   if (size >= 0) {
     const size_t body = static_cast<size_t>(size) - m;
     const size_t base = out->size();
+#if defined(__cpp_lib_string_resize_and_overwrite)
     // resize_and_overwrite: no zero-fill before fread overwrites the bytes.
     size_t got = 0;
     out->resize_and_overwrite(
@@ -104,7 +118,14 @@ bool read_all(const char* path, std::string* out) {
           return base + got;
         });
     ok = got == body;
-  } else {  // non-seekable: chunked append
+#else
+    // Pre-C++23 fallback (zero-fills first; still one sized read).
+    out->resize(base + body);
+    const size_t got = body ? fread(&(*out)[base], 1, body, f) : 0;
+    out->resize(base + got);
+    ok = got == body;
+#endif
+  } else {  // cannot determine size: chunked append
     char buf[1 << 20];
     size_t n;
     while ((n = fread(buf, 1, sizeof(buf), f)) > 0) out->append(buf, n);

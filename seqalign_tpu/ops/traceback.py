@@ -73,7 +73,6 @@ def _native_for(table):
 # overlapping views. All current callers (CLI --align, pipeline top-k
 # re-alignment) run tracebacks sequentially; guard here if that changes.
 _states_cache = np.empty(0, dtype=np.uint8)
-_states_cache_owner: int | None = None  # thread id currently holding a view
 _STATES_CACHE_CAP = 64 << 20  # don't pin more than 64 MB across calls
 
 

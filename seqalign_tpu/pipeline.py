@@ -894,25 +894,52 @@ def search_files_streaming(
     import threading as _threading
 
     _q: _queue.Queue = _queue.Queue(maxsize=1)
+    # Consumer-driven cancellation: if the consume loop dies mid-iteration
+    # (compile error, checkpoint IO failure, KeyboardInterrupt), the
+    # producer must not block forever on a full queue — that would leak
+    # the thread, the open native stream/gzip handle, and two parsed
+    # chunks per failed streaming search in library use.
+    _cancel = _threading.Event()
+
+    def _put(item) -> bool:
+        while not _cancel.is_set():
+            try:
+                _q.put(item, timeout=0.5)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def _producer():
         try:
             for item in chunk_iter:
-                _q.put(item)
-            _q.put(None)
+                if not _put(item):
+                    break
+            else:
+                _put(None)
         except BaseException as e:  # surface parse errors on the consumer
-            _q.put(e)
+            _put(e)
+        finally:
+            if _cancel.is_set():
+                close = getattr(chunk_iter, "close", None)
+                if close is not None:
+                    close()
 
     _threading.Thread(target=_producer, daemon=True).start()
 
     def _consume():
-        while True:
-            item = _q.get()
-            if item is None:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = _q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # Runs on normal exhaustion AND when the for-loop closes the
+            # generator after a body exception — releases the producer.
+            _cancel.set()
 
     for k, db in enumerate(_consume()):
         ck = (

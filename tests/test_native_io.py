@@ -357,3 +357,34 @@ class TestDbCache:
         assert db2 is not None
         np.testing.assert_array_equal(np.asarray(db2.seq), np.asarray(db1.seq))
         assert db2.names == db1.names
+
+
+def test_fifo_inputs(tmp_path):
+    """Non-seekable inputs (named pipes): gzip data must survive the
+    magic-byte probe (ADVICE round-3: the old probe consumed 2 bytes of a
+    FIFO before reopening via gzopen, losing them). Non-seekable inputs
+    now route through gzdopen on the same descriptor, which reads gzip
+    AND plain data transparently."""
+    import threading
+
+    def run(name, data):
+        fifo = str(tmp_path / name)
+        os.mkfifo(fifo)
+
+        def writer():
+            with open(fifo, "wb") as w:
+                w.write(data)
+
+        t = threading.Thread(target=writer, daemon=True)
+        t.start()
+        db = native_io.parse_file(fifo)
+        t.join(5)
+        return db
+
+    db = run("a.fa.gz", gzip.compress(b">r1\nACDEF\n>r2\nGHIKLMNP\n"))
+    assert db.n == 2 and int(db.offsets[-1]) == 13
+    got = np.asarray(db.seq[: int(db.offsets[1])])
+    np.testing.assert_array_equal(got, np.array(encode("ACDEF"), np.int8))
+
+    db = run("b.fa", b">a\nWYV\n")
+    assert db.n == 1 and int(db.offsets[-1]) == 3

@@ -1118,3 +1118,50 @@ def test_streaming_prefetch_error_propagates(tmp_path, rng, blosum62):
         search_files_streaming(
             str(q), str(d), blosum62, engine="wavefront", chunk_records=32,
         )
+
+
+def test_streaming_producer_released_on_consumer_failure(
+    tmp_path, rng, blosum62, monkeypatch
+):
+    """If the consume loop dies mid-iteration (compile error, checkpoint
+    IO failure), the ingest producer thread must terminate instead of
+    blocking forever on the full prefetch queue (ADVICE round-3: each
+    failed streaming search leaked a thread + open stream handle)."""
+    import threading
+    import time
+
+    import seqalign_tpu.pipeline as pl
+    from conftest import random_protein
+
+    q = tmp_path / "q.fa"
+    d = tmp_path / "db.fa"
+    q.write_text(">q\n" + random_protein(rng, 12) + "\n")
+    d.write_text(
+        "".join(
+            f">r{i}\n{random_protein(rng, int(rng.integers(1, 30)))}\n"
+            for i in range(400)
+        )
+    )
+
+    calls = []
+
+    def boom(*a, **k):
+        calls.append(1)
+        raise RuntimeError("simulated compile failure")
+
+    monkeypatch.setattr(pl, "search_database", boom)
+    before = set(threading.enumerate())
+    with pytest.raises(RuntimeError, match="simulated compile failure"):
+        pl.search_files_streaming(
+            str(q), str(d), blosum62, engine="wavefront", chunk_records=50
+        )
+    assert calls  # the failure happened mid-iteration, chunks pending
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        leaked = [
+            t for t in set(threading.enumerate()) - before if t.is_alive()
+        ]
+        if not leaked:
+            break
+        time.sleep(0.1)
+    assert not leaked, f"producer thread leaked: {leaked}"
