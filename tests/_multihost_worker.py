@@ -24,6 +24,7 @@ def main():
     p.add_argument("--db", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--topk", type=int, default=0)
+    p.add_argument("--db-cache", default=None)
     args = p.parse_args()
 
     # The env-var route (JAX_PLATFORMS=cpu) is overridden by TPU plugin
@@ -48,7 +49,7 @@ def main():
             q, args.db, sc,
             coordinator_address=args.coordinator,
             num_processes=args.nproc, process_id=args.pid,
-            k=args.topk, engine_fn=engine_fn,
+            k=args.topk, engine_fn=engine_fn, db_cache=args.db_cache,
         )
         np.savez(args.out, vals=vals, ids=ids)
     else:
@@ -56,7 +57,7 @@ def main():
             q, args.db, sc,
             coordinator_address=args.coordinator,
             num_processes=args.nproc, process_id=args.pid,
-            engine_fn=engine_fn,
+            engine_fn=engine_fn, db_cache=args.db_cache,
         )
         np.save(args.out, scores)
 

@@ -38,7 +38,7 @@ def _write_fixtures(rng, tmp_path, n_records=600):
     return str(qp), str(dp)
 
 
-def _run_workers(tmp_path, qp, dp, nproc=2, topk=0):
+def _run_workers(tmp_path, qp, dp, nproc=2, topk=0, db_cache=None):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ)
@@ -57,6 +57,8 @@ def _run_workers(tmp_path, qp, dp, nproc=2, topk=0):
         ]
         if topk:
             cmd += ["--topk", str(topk)]
+        if db_cache:
+            cmd += ["--db-cache", db_cache]
         procs.append(
             subprocess.Popen(
                 cmd, env=env, stdout=subprocess.PIPE,
@@ -144,6 +146,23 @@ class TestMultihost:
         ]
         assert got == [int(s) for s in want]
         assert "score:" not in outs[1]  # only host 0 prints
+
+    def test_two_process_shared_sqc_cache(self, rng, blosum62, tmp_path):
+        """Both workers stripe the SAME mmapped .sqc sidecar (zero-copy
+        record views, multihost.py) and the merged result equals the
+        single-process search — including cache-only (FASTA deleted), so
+        neither worker can be silently re-parsing the FASTA."""
+        from seqalign_tpu.pipeline import search_files
+        from seqalign_tpu.utils.native_io import parse_file_cached
+
+        qp, dp = _write_fixtures(rng, tmp_path, n_records=500)
+        want = search_files(qp, dp, blosum62, engine="wavefront").scores
+        cp = str(tmp_path / "db.sqc")
+        parse_file_cached(dp, cp)  # build the sidecar once, up front
+        os.remove(dp)  # workers must be served by the cache alone
+        outs = _run_workers(tmp_path, qp, dp, nproc=2, db_cache=cp)
+        for out in outs:
+            np.testing.assert_array_equal(np.load(out), want)
 
     def test_single_process_path(self, rng, blosum62, tmp_path):
         """nproc=1 short-circuits the collective but uses the same driver."""
