@@ -1364,6 +1364,15 @@ _SHAPES_XXLONG = [
     (1, 4, 32, 0, False), (1, 4, 16, 0, False), (1, 4, 8, 0, False),
     (1, 2, 1, 0, False),
 ]
+# Striped (unbounded-query) passes select from their OWN table so the
+# striped adoption decision is decoupled from the flat >=256 band: after
+# tools/longpair_check.py --pipe/--pack measures a packed-stripe win
+# (hardware queue step [8]), prepend the winning shape here — e.g.
+# (2, 4, 16, 6, True, 4) — and the pipeline's striped path picks it up
+# through the same max_abs_bias gate as the flat kernels (VERDICT
+# round-3 item 5). Until then this is exactly the XXLONG fallback list.
+_SHAPES_STRIPE = list(_SHAPES_XXLONG)
+
 # Multi-query batching adds a predicated chain reset + dynamic best
 # indexing to the loop body; jb=8 variants of that body crash Mosaic.
 # Fused production first (interpret-verified; HW-verified via
@@ -1401,6 +1410,7 @@ def choose_config(
     nw_max: int | None = None,
     max_abs_bias: float | None = None,
     upk: str | None = None,
+    striped: bool = False,
 ) -> KernelConfig | None:
     """Pick (windows, j-block, row-unroll, S-chunk rows) for a query length.
 
@@ -1421,12 +1431,20 @@ def choose_config(
     with (None = PRODUCTION_UPK): "round" gates against the wider
     PACK_BOUNDS_ROUND table and the returned config carries the mode so
     the pipeline passes it straight to the kernel.
+
+    ``striped`` selects the striped-pass table (``_SHAPES_STRIPE``) —
+    ``lq`` is then the stripe row count, and packed/fused stripe shapes
+    are adopted there independently of the flat bands.
     """
     if upk is None:
         upk = PRODUCTION_UPK
     bounds = PACK_BOUNDS_ROUND if upk == "round" else PACK_BOUNDS
     if nq > 1:
         shapes = _SHAPES_MQ
+    elif striped:
+        # per-stripe shape (lq = stripe rows); own table so packed-stripe
+        # adoption is independent of the flat >=256 band
+        shapes = _SHAPES_STRIPE
     elif lq <= 48:
         shapes = _SHAPES_SHORT
     elif lq < 96:

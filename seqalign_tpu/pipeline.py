@@ -387,15 +387,14 @@ def _stream_search(
             (s, min(s + per_chunk, n)) for s in range(0, n, per_chunk)
         ]
     # |P - go| bound unlocks packed-production shapes (pack>1) where the
-    # biased profile fits the pack level's exact f32 field; the striped
-    # kernel keeps pack=1 (own path). Function-scoped so a packed compile
-    # failure in one chunk disables packing for ALL later chunks instead
-    # of re-paying the doomed compile per chunk.
-    pack_pmax = None
-    if lq <= _MQR:
-        pack_pmax = float(
-            np.max(np.abs(np.asarray(profile, np.float64) - go))
-        ) if profile.size else 0.0
+    # biased profile fits the pack level's exact f32 field — striped
+    # passes included (their shapes adopt via _SHAPES_STRIPE).
+    # Function-scoped so a packed compile failure in one chunk disables
+    # packing for ALL later chunks instead of re-paying the doomed
+    # compile per chunk.
+    pack_pmax = float(
+        np.max(np.abs(np.asarray(profile, np.float64) - go))
+    ) if profile.size else 0.0
     for start, stop in chunk_bounds:
         chunk = order[start:stop]
         if ckpt is not None:
@@ -441,9 +440,13 @@ def _stream_search(
         retry_cap = nw_cap
         packed_layout = None  # (nw, jb) -> reuse packed streams on retry
         while run is None:
+            # The bias gate applies to striped passes too: packed/fused
+            # stripe shapes become eligible the moment _SHAPES_STRIPE
+            # lists one (adoption is gated on the longpair_check
+            # measurement, not on this call site).
             cfg = choose_config(
                 cfg_lq, reserve=reserve, nq=nq_b, nw_max=retry_cap,
-                max_abs_bias=None if striped else pack_pmax,
+                max_abs_bias=pack_pmax, striped=striped,
             )
             if cfg is None:  # nothing fits VMEM: caller falls back to XLA
                 return None
@@ -471,6 +474,7 @@ def _stream_search(
                     kw = dict(
                         nslots=nslots_c, nw=nw, jb=cfg.jb, ui=cfg.ui,
                         ic=cfg.ic, stripe_rows=stripe_rows,
+                        pipe=cfg.pipe, pack=cfg.pack, upk=cfg.upk,
                     )
                     run = lambda pd: sw_pallas_stream_striped(
                         pd, streams_dev, fs_dev, go, ge, **kw

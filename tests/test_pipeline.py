@@ -1165,3 +1165,48 @@ def test_streaming_producer_released_on_consumer_failure(
             break
         time.sleep(0.1)
     assert not leaked, f"producer thread leaked: {leaked}"
+
+
+@pytest.mark.slow
+def test_stream_search_striped_path(rng, blosum62, monkeypatch):
+    """The pipeline's striped (unbounded-query) dispatch, end to end in
+    interpret mode with shrunken stripe constants: covers the
+    _SHAPES_STRIPE config route and the pipe/pack/upk kwargs now
+    forwarded into sw_pallas_stream_striped (VERDICT round-3 item 5
+    plumbing). Exactness vs the wavefront engine."""
+    import functools
+
+    import seqalign_tpu.ops.swa_pallas as sp
+    from seqalign_tpu.models import encode
+    from seqalign_tpu.ops.swa_xla import make_profile
+    from seqalign_tpu.pipeline import (
+        _db_from_encoded,
+        _stream_search,
+        search_encoded,
+    )
+    from conftest import random_protein
+
+    # Tiny stripes so interpret tracing stays fast; the pipeline reads
+    # both constants at call time.
+    monkeypatch.setattr(sp, "MAX_QUERY_ROWS", 32)
+    monkeypatch.setattr(sp, "STRIPE_ROWS", 16)
+    monkeypatch.setattr(
+        sp,
+        "sw_pallas_stream_striped",
+        functools.partial(sp.sw_pallas_stream_striped, interpret=True),
+    )
+
+    sc = blosum62
+    q = sc.query_indices(random_protein(rng, 40))  # 3 stripes of 16
+    encoded = [
+        encode(random_protein(rng, int(rng.integers(1, 30))))
+        for _ in range(1500)
+    ]
+    db = _db_from_encoded(encoded)
+    profile = make_profile(sc.table, q)
+    order = np.argsort(-db.lengths, kind="stable")
+    got, _ = _stream_search(
+        profile, db, sc.gap_open_total, sc.gap_extend, order, None
+    )
+    want, _ = search_encoded(q, encoded, sc, engine="wavefront")
+    np.testing.assert_array_equal(got, want)
