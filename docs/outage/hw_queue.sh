@@ -14,8 +14,8 @@ step() {
 step "[0] bench.py --rehearse (tiny-shape two-program hardware rehearsal)" 420 python bench.py --rehearse
 step "[1] bench.py official capture (warms the exact persistent-cache entries the driver's end-of-round run needs; 780s watchdog)" 900 python bench.py
 step "[2] tpu_check --paths (production path validation incl. packed stream)" 2400 python tools/tpu_check.py --paths
-step "[3] exp_pack sweep: all bands + chain-count candidates" 5400 python tools/exp_pack.py --lq 17 64 144 256 512
-step "[4] exp_pack upk=round vs floor at lq=144" 1800 python tools/exp_pack.py --lq 144 --upk round
+step "[3] exp_pack sweep: all bands + chain-count candidates, 3 reps" 5400 python tools/exp_pack.py --lq 17 64 144 256 512 --repeat 3
+step "[4] exp_pack upk=round vs floor at lq=144, 3 reps" 1800 python tools/exp_pack.py --lq 144 --upk round --repeat 3
 step "[5] exp_pack row-stacked mq" 2400 python tools/exp_pack.py --mq 8 --lq 17 24 48
 step "[6] tpu_check --mq64 (aggregate vs single-query)" 2400 python tools/tpu_check.py --mq64
 step "[7] longpair hardware point (striped pipe0)" 2400 python tools/longpair_check.py

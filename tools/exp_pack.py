@@ -33,6 +33,18 @@ def main() -> int:
     parser.add_argument("--skip-verify", action="store_true")
     parser.add_argument("--best-of", type=int, default=3)
     parser.add_argument(
+        "--only-production", action="store_true",
+        help="measure only choose_config's production shape per band "
+        "(cheap repeat confirmation of adopted winners; skips the "
+        "candidate grid)",
+    )
+    parser.add_argument(
+        "--repeat", type=int, default=1,
+        help="independent timing repetitions per config (program loads "
+        "once; each repeat is a fresh two-point measurement). Adoption "
+        "decisions need >=3 (run-to-run spread is ~±6%%, docs/DESIGN.md)",
+    )
+    parser.add_argument(
         "--upk", default="floor", choices=("floor", "round"),
         help="packed-field extraction scheme: floor (biased fields) or "
         "round (signed fields, no bias subtraction - 3 fewer VPU ops "
@@ -168,16 +180,28 @@ def main() -> int:
             np.asarray(acc)
             return time.perf_counter() - t0
 
-        t1 = min(one(1) for _ in range(args.best_of))
-        t5 = min(one(5) for _ in range(args.best_of))
-        dt = max((t5 - t1) / 4, 1e-9)
-        g = nq * lq * lb * cfg.nw * 1024 / dt / 1e9
-        print(
-            f"lq={lq:4d} {cfg}: exact={ok}  {g:6.1f} GCUPS"
-            f"  (load {load_s:.0f}s)",
-            flush=True,
-        )
-        return g
+        gs = []
+        for rep in range(max(1, args.repeat)):
+            t1 = min(one(1) for _ in range(args.best_of))
+            t5 = min(one(5) for _ in range(args.best_of))
+            dt = max((t5 - t1) / 4, 1e-9)
+            g = nq * lq * lb * cfg.nw * 1024 / dt / 1e9
+            gs.append(g)
+            tag = f" rep{rep + 1}" if args.repeat > 1 else ""
+            print(
+                f"lq={lq:4d} {cfg}: exact={ok}  {g:6.1f} GCUPS"
+                f"  (load {load_s:.0f}s){tag}",
+                flush=True,
+            )
+        if args.repeat > 1:
+            med = float(np.median(gs))
+            spread = (max(gs) - min(gs)) / med * 100 if med else 0.0
+            print(
+                f"lq={lq:4d} {cfg}: median {med:6.1f} GCUPS over "
+                f"{len(gs)} reps (spread {spread:.1f}%)",
+                flush=True,
+            )
+        return float(np.median(gs))
 
     if args.mq > 1:
         # Row-stacked multi-query: NQ short queries per dispatch. The
@@ -209,6 +233,8 @@ def main() -> int:
         print(f"--- lq={lq} (production: {base}) ---", flush=True)
         if base is not None:
             run(lq, base)
+        if args.only_production:
+            continue
         cands = []
         if lq <= 48:
             # short band: full-query fused dot, packed (lqe rounds to
