@@ -86,7 +86,11 @@ def main() -> int:
     rng = np.random.default_rng(31)
     lb, nw = args.lb, args.nw
     cpu = jax.devices("cpu")[0]
-    cfg = choose_config(args.stripe_rows, nw_max=nw)
+    # striped=True: measure the SAME table the pipeline's striped path
+    # selects from (_SHAPES_STRIPE), so adopted packed-stripe shapes show
+    # up here without flag juggling; --pipe/--pack still override below.
+    cfg = choose_config(args.stripe_rows, nw_max=nw, max_abs_bias=18.0,
+                        striped=True)
     kw = dict(nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=args.ic or cfg.ui,
               pipe=args.pipe, pack=args.pack,
               stripe_rows=args.stripe_rows)
