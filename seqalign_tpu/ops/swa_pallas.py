@@ -1402,6 +1402,51 @@ PACK_BOUNDS_ROUND = {1: float(_BF16_EXACT), 2: 255.0, 4: 31.0}
 PRODUCTION_UPK = "floor"
 
 
+def _vmem_ic_budget(lq, nw_c, jb, ui, pipe, pk, nq=1, reserve=0):
+    """VMEM accounting shared by choose_config and config_fits_vmem.
+
+    Returns (ic_budget, lat, lqp): the largest S-chunk row count (in
+    LOGICAL query rows; the packed s_buf holds ic/pk physical rows) that
+    fits the empirical _VMEM_BUDGET after the rolling rows, chain state,
+    per-query bests, and the resident one-hot encodings.
+    """
+    budget = _VMEM_BUDGET - reserve
+    # per-query rows pad to the (ui, pack) lattice so packed groups
+    # never straddle a query boundary (mirrors sw_pallas_windows)
+    lat = ui * pk // math.gcd(ui, pk)
+    lqp = nq * (-(-lq // lat) * lat)
+    rows = 2 * lqp * nw_c * WINDOW_LANES * 4
+    state = (2 * jb + 1) * nw_c * WINDOW_LANES * 4
+    best = nq * nw_c * WINDOW_LANES * 4
+    # bf16 one-hot encodings live on the VMEM stack for the whole step;
+    # weighted at half size (measured: configs at the full-size model
+    # limit compile fine -- Mosaic appears to stream them into the dots)
+    # pack>1 widens the one-hot along K by the pack factor.
+    onehot = nw_c * jb * pk * ALPHA * WINDOW_LANES
+    parity = 2 if pipe else 1  # pipe modes double-buffer the S block
+    # packed s_buf holds ic/pack physical rows per chunk
+    ic_budget = pk * (budget - rows - state - best - onehot) / (
+        parity * nw_c * jb * WINDOW_LANES * 4
+    )
+    return ic_budget, lat, lqp
+
+
+def config_fits_vmem(
+    lq: int, cfg: "KernelConfig", nq: int = 1, reserve: int = 0
+) -> bool:
+    """Whether an EXPLICIT config's S chunk fits the VMEM budget.
+
+    choose_config solves for ic and can only emit fitting configs; this
+    validates hand-built candidates (experiment grids, tool overrides)
+    with the same accounting, so a sweep never spends a hardware compile
+    on a shape that cannot allocate.
+    """
+    ic_budget, _, lqp = _vmem_ic_budget(
+        lq, cfg.nw, cfg.jb, cfg.ui, cfg.pipe, cfg.pack, nq, reserve
+    )
+    return cfg.ic <= min(ic_budget, lqp)
+
+
 def choose_config(
     lq: int,
     nw: int | None = None,
@@ -1453,7 +1498,6 @@ def choose_config(
         shapes = _SHAPES_XLONG
     else:
         shapes = _SHAPES_XXLONG
-    budget = _VMEM_BUDGET - reserve
     for shape in shapes:
         nw_c, jb, ui, pipe, full_ic = shape[:5]
         pk = shape[5] if len(shape) > 5 else 1
@@ -1465,22 +1509,8 @@ def choose_config(
             max_abs_bias is None or max_abs_bias > bounds[pk]
         ):
             continue
-        # per-query rows pad to the (ui, pack) lattice so packed groups
-        # never straddle a query boundary (mirrors sw_pallas_windows)
-        lat = ui * pk // math.gcd(ui, pk)
-        lqp = nq * (-(-lq // lat) * lat)
-        rows = 2 * lqp * nw_c * WINDOW_LANES * 4
-        state = (2 * jb + 1) * nw_c * WINDOW_LANES * 4
-        best = nq * nw_c * WINDOW_LANES * 4
-        # bf16 one-hot encodings live on the VMEM stack for the whole step;
-        # weighted at half size (measured: configs at the full-size model
-        # limit compile fine -- Mosaic appears to stream them into the dots)
-        # pack>1 widens the one-hot along K by the pack factor.
-        onehot = nw_c * jb * pk * ALPHA * WINDOW_LANES
-        parity = 2 if pipe else 1  # pipe modes double-buffer the S block
-        # packed s_buf holds ic/pack physical rows per chunk
-        ic_budget = pk * (budget - rows - state - best - onehot) / (
-            parity * nw_c * jb * WINDOW_LANES * 4
+        ic_budget, lat, lqp = _vmem_ic_budget(
+            lq, nw_c, jb, ui, pipe, pk, nq, reserve
         )
         if full_ic:
             # the whole padded query's S in one dot per grid step

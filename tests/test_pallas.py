@@ -30,6 +30,34 @@ class TestChooseConfig:
         for lq in (8, 48, 64, 96, 191, 192, 256, 1024, 1536):
             assert choose_config(lq) is not None
 
+    def test_chosen_configs_pass_fits_vmem(self):
+        """config_fits_vmem shares choose_config's accounting: every
+        emitted config must validate, and an ic above the budget's
+        solution must not (the helper gates hand-built experiment
+        candidates, tools/exp_pack.py)."""
+        import dataclasses
+
+        from seqalign_tpu.ops.swa_pallas import config_fits_vmem
+
+        for lq in (8, 17, 144, 333, 512, 1024):
+            for nq in (1, 8):
+                for reserve in (0, 2 << 20):
+                    cfg = choose_config(
+                        lq, reserve=reserve, nq=nq, max_abs_bias=22.0
+                    )
+                    if cfg is None:
+                        continue
+                    assert config_fits_vmem(lq, cfg, nq=nq, reserve=reserve)
+        # A known-infeasible explicit candidate (the 32-chain full-height
+        # shape at lq=144 needs ~15.5 MiB > budget).
+        from seqalign_tpu.ops.swa_pallas import KernelConfig
+
+        big = KernelConfig(nw=2, jb=16, ui=16, ic=144, pipe=6, pack=4)
+        assert not config_fits_vmem(144, big)
+        # The adopted lq=144 production shape fits with room to spare.
+        ok = KernelConfig(nw=2, jb=4, ui=16, ic=144, pipe=6, pack=4)
+        assert config_fits_vmem(144, ok)
+
     def test_bounds(self):
         import math
 

@@ -99,6 +99,7 @@ def main() -> int:
     from seqalign_tpu.ops.swa_pallas import (
         KernelConfig,
         choose_config,
+        config_fits_vmem,
         sw_pallas_windows,
     )
     from seqalign_tpu.ops.swa_xla import sw_wavefront
@@ -225,6 +226,13 @@ def main() -> int:
                 # higher chain counts (ILP lever), VMEM-checked at nq=8
                 KernelConfig(nw=2, jb=8, ui=2, ic=stack4, pipe=6, pack=4),
             ):
+                if not config_fits_vmem(lq, cfg, nq=nq):
+                    print(
+                        f"mq{nq} lq={lq:4d} {cfg}: SKIP (exceeds VMEM "
+                        "budget)",
+                        flush=True,
+                    )
+                    continue
                 run(lq, cfg, nq=nq)
         return 0
 
@@ -268,10 +276,19 @@ def main() -> int:
                     KernelConfig(nw=4, jb=4, ui=16, ic=lqp4, pipe=6, pack=4),
                     KernelConfig(nw=2, jb=8, ui=16, ic=lqp4, pipe=6, pack=4),
                     KernelConfig(nw=3, jb=4, ui=16, ic=lqp4, pipe=6, pack=4),
-                    # 32 register chains — the const-S 469-GCUPS chain
-                    # count, reachable only because pack=4 shrinks s_buf
-                    KernelConfig(nw=2, jb=16, ui=16, ic=lqp4, pipe=6,
+                    # 24 register chains — the most the VMEM budget
+                    # allows at full height (32-chain (2,16,16) pack=4
+                    # needs 15.5 MiB > budget; config_fits_vmem audit)
+                    KernelConfig(nw=3, jb=8, ui=16, ic=lqp4, pipe=6,
                                  pack=4),
+                ]
+            else:
+                # lq > 192: (2,4,16) full-height pack=4 overruns VMEM at
+                # lq=512 (17.1 MiB); nw=1 full-height variants fit — the
+                # chain count drops but full dot height is the lever
+                cands += [
+                    KernelConfig(nw=1, jb=8, ui=16, ic=lqp4, pipe=6, pack=4),
+                    KernelConfig(nw=1, jb=4, ui=16, ic=lqp4, pipe=6, pack=4),
                 ]
         seen = set()
         for cfg in cands:
@@ -279,6 +296,10 @@ def main() -> int:
             if key in seen:
                 continue
             seen.add(key)
+            if not config_fits_vmem(lq, cfg):
+                print(f"lq={lq:4d} {cfg}: SKIP (exceeds VMEM budget)",
+                      flush=True)
+                continue
             run(lq, cfg)
     return 0
 
