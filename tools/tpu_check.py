@@ -318,16 +318,22 @@ def check_paths(rng) -> int:
     print(f"stream lq=144 {cfg}: exact={ok}")
     fails += not ok
 
-    # 2) striped long query
+    # 2) striped long query — same selection as the pipeline's striped
+    # path (striped=True table + bias gate + production kwargs), so an
+    # adopted packed-stripe shape is validated here automatically
     ql = aa20[rng.integers(0, 20, 700)].astype(np.int32)
     profl = make_profile(sc.table, ql)
-    cfgs = choose_config(192, reserve=(2 << 20))
+    pmaxl = float(np.max(np.abs(profl.astype(np.float64) - go)))
+    cfgs = choose_config(
+        192, reserve=(2 << 20), max_abs_bias=pmaxl, striped=True
+    )
     packs = pack_streams(db, order, cfgs.nw, jb=cfgs.jb, grain=16)
     out = np.asarray(
         sw_pallas_stream_striped(
             profl, packs.streams, packs.fs, go, ge,
             nslots=len(packs.slot_ids), nw=cfgs.nw, jb=cfgs.jb, ui=cfgs.ui,
-            ic=cfgs.ic, stripe_rows=192,
+            ic=cfgs.ic, stripe_rows=192, pipe=cfgs.pipe, pack=cfgs.pack,
+            upk=cfgs.upk,
         )
     )
     wantl = np.asarray(sw_wavefront(profl, flat, go, ge))
