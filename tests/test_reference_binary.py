@@ -196,3 +196,56 @@ def test_scores_match_shipped_oracle_binary(matrix, qlen, seed):
             assert ours == 0, (ours, query, rec)
         else:
             assert ours == int(m.group(1)), (query, rec)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [211, 223, 227, 229])
+def test_random_matrix_differential(ref_binary, tmp_path, seed):
+    """Randomized differential vs the compiled reference kernel: a random
+    asymmetric int8 substitution table and random gap penalties, all 64
+    records bit-for-bit. Fixed-matrix sweeps can miss recurrence bugs
+    that only random score surfaces excite (e.g. E/F update order,
+    src/alignment.c:141-161)."""
+    sys.path.insert(0, str(REPO / "tools/refbench"))
+    import gen_workload
+
+    rng = np.random.default_rng(seed)
+    go = -int(rng.integers(1, 13))
+    ge = -int(rng.integers(1, 7))
+    qlen = int(rng.integers(1, 201))
+
+    db_bin = tmp_path / "db.bin"
+    mat = tmp_path / "matrix.txt"
+    n = 64
+    gen_workload.write_workload(str(db_bin), n=n, query_len=qlen, seed=seed)
+    table = gen_workload.write_random_matrix(str(mat), seed=seed)
+
+    out = subprocess.run(
+        [str(ref_binary), str(db_bin), str(mat), "1", str(go), str(ge)],
+        check=True,
+        capture_output=True,
+        text=True,
+        env={"OMP_NUM_THREADS": "1", "PATH": "/usr/bin:/bin"},
+    ).stdout
+    ref_scores = [
+        int(line.split("=")[1])
+        for line in out.splitlines()
+        if line.startswith("score[")
+    ]
+    assert len(ref_scores) == n
+
+    from seqalign_tpu.ops.oracle import sw_score_single
+
+    with open(db_bin, "rb") as f:
+        nn = int(np.frombuffer(f.read(8), np.int64)[0])
+        qlen_r = int(np.frombuffer(f.read(8), np.int64)[0])
+        q = np.frombuffer(f.read(qlen_r), np.int8).astype(np.int32)
+        lens = np.frombuffer(f.read(8 * nn), np.int64)
+        seqs = [
+            np.frombuffer(f.read(int(L)), np.int8).astype(np.int32)
+            for L in lens
+        ]
+    ours = [
+        sw_score_single(q, seqs[k], table, go, ge) for k in range(n)
+    ]
+    assert ours == ref_scores, f"mismatch at go={go} ge={ge} qlen={qlen}"

@@ -34,6 +34,39 @@ def write_matrix(path: str, name: str = "PAM250") -> None:
                 f.write(f"{a} {b} {sc.table[ia, ib]}\n")
 
 
+def write_random_matrix(
+    path: str, seed: int, max_abs: int = 60
+) -> np.ndarray:
+    """A random (asymmetric) substitution table over the PAM alphabet.
+
+    Returns the 32x32 int32 table for recomputation on our side. Scores
+    stay within ±max_abs (the reference asserts int8 range,
+    src/alignment_scoring.c:62; a modest bound also keeps worst-case
+    alignment scores far from the reference's unguarded int16 wrap,
+    SURVEY.md §7.4).
+    """
+    rng = np.random.default_rng(seed)
+    table = np.zeros((32, 32), dtype=np.int32)
+    with open(path, "w") as f:
+        for a in PAM_ALPHA:
+            ia = encode(a)[0]
+            for b in PAM_ALPHA:
+                ib = encode(b)[0]
+                if a == "*" or b == "*":
+                    # '*' is the reference's lane-padding character; its
+                    # scores must stay negative (true of every real
+                    # matrix) or padded lanes could extend alignments
+                    # into the padding and diverge from the true-length
+                    # score — outside the behavioral envelope
+                    # (SURVEY.md §7).
+                    s = int(rng.integers(-max_abs, 0))
+                else:
+                    s = int(rng.integers(-max_abs, max_abs + 1))
+                table[ia, ib] = s
+                f.write(f"{a} {b} {s}\n")
+    return table
+
+
 def write_workload(
     path: str, n: int = 48_000, query_len: int = 144, seed: int = 42
 ) -> None:
