@@ -24,3 +24,6 @@ step "[8b] longpair packed stripes, 256-row variant" 1800 python tools/longpair_
 step "[9] tpu_check production ladder (per-band table)" 3600 python tools/tpu_check.py
 step "[10] per-band constant-S ceilings (roofline)" 2400 python tools/exp_pack.py --lq 17 64 144 256 512 --const-s
 echo "=== HW QUEUE DONE $(date) ===" >> $log
+# Digest the whole log into adoption recommendations (pure stdlib, no TPU)
+python tools/adopt.py $log > /tmp/adopt_report.txt 2>&1
+echo "adoption report: /tmp/adopt_report.txt (rc=$?)" >> $log
