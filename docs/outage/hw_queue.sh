@@ -4,9 +4,21 @@ cd /root/repo
 log=/tmp/hw_queue.log
 echo "=== HW QUEUE START $(date) ===" >> $log
 
+# /tmp/hw_queue_deadline (epoch seconds): past it, only the bench steps
+# [0]/[1] run — a tunnel that returns minutes before round end must spend
+# them on the official capture, not on sweeps (total step timeouts ~7.8h).
+DEADLINE_FILE=/tmp/hw_queue_deadline
 step() {
-  echo "--- $1 ---" >> $log
-  shift
+  name="$1"; shift
+  dl=$(cat $DEADLINE_FILE 2>/dev/null || echo 9999999999)
+  case "$name" in
+    "[0]"*|"[1]"*) ;;
+    *) if [ "$(date +%s)" -gt "$dl" ]; then
+         echo "--- $name SKIPPED past deadline ---" >> $log
+         return
+       fi ;;
+  esac
+  echo "--- $name @ $(date -u +%FT%TZ) ---" >> $log
   timeout "$@" >> $log 2>&1
   echo "rc=$?" >> $log
 }
