@@ -31,8 +31,8 @@ step "[4] exp_pack upk=round vs floor at lq=144, 3 reps" 1800 python tools/exp_p
 step "[5] exp_pack row-stacked mq" 2400 python tools/exp_pack.py --mq 8 --lq 17 24 48
 step "[6] tpu_check --mq64 (aggregate vs single-query)" 2400 python tools/tpu_check.py --mq64
 step "[7] longpair hardware point (striped pipe0)" 2400 python tools/longpair_check.py
-step "[8] longpair packed stripes (pipe6 pack4 full-height; ic=512 exceeds the VMEM budget, 384 is the largest full-height stripe)" 2400 python tools/longpair_check.py --pipe 6 --pack 4 --ic 384 --stripe-rows 384 --verify-rows 1200
-step "[8b] longpair packed stripes, 256-row variant" 1800 python tools/longpair_check.py --pipe 6 --pack 4 --ic 256 --stripe-rows 256 --verify-rows 1200
+step "[8] longpair packed stripes (pipe6 pack4 full-height at 512 rows — fits since the nc==1 single-parity s_buf fix)" 2400 python tools/longpair_check.py --pipe 6 --pack 4 --ic 512 --stripe-rows 512 --verify-rows 1200
+step "[8b] longpair packed stripes, 384-row variant" 1800 python tools/longpair_check.py --pipe 6 --pack 4 --ic 384 --stripe-rows 384 --verify-rows 1200
 step "[9] tpu_check production ladder (per-band table)" 3600 python tools/tpu_check.py
 step "[10] per-band constant-S ceilings (roofline)" 2400 python tools/exp_pack.py --lq 17 64 144 256 512 --const-s
 echo "=== HW QUEUE DONE $(date) ===" >> $log

@@ -511,6 +511,29 @@ def _run_block(
             )
 
 
+def _sbuf_scratch(pipe, nc, nw, jb, ic, sl, pack):
+    """The S-block scratch spec shared by all three kernel wrappers.
+
+    Pipe modes double-buffer s_buf so chunk c+1's dots can fill one
+    parity while chunk c's DP drains the other — but a full-height chunk
+    (``nc == 1``) has no second chunk: _run_block's loop only ever
+    touches parity 0, so the second parity would be dead VMEM. It WAS:
+    the round-4 audit's "32 chains need 15.5 MiB" bound counted a never-
+    referenced 4.7 MiB parity for the lq=144 full-height pack=4 shapes.
+    Single chunk -> single parity (and _vmem_ic_budget mirrors this).
+    """
+    par = 2 if (pipe and nc > 1) else 1
+    if pipe in (6, 7):
+        shape = (par, ic // pack, nw * jb * sl, LANES)
+    elif pipe == 5:
+        shape = (par * nw, ic, jb * sl, LANES)
+    else:
+        shape = ((par if pipe in (1, 2, 4) else 1) * nw, jb, ic, sl, LANES)
+    return pltpu.VMEM(
+        shape, jnp.bfloat16 if pipe in (4, 7) else jnp.float32
+    )
+
+
 def _kernel(
     prof_ref,  # (NC*IC, ALPHA) bf16 biased query profile (padded rows zero)
     db_ref,  # (NW, 1, JB, SL, LANES) int32 db chars for this grid step
@@ -895,14 +918,7 @@ def sw_pallas_windows(
         scratch_shapes=[
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
-            pltpu.VMEM(
-                (2, ic // pack, nw * jb * sl, LANES)
-                if pipe in (6, 7)
-                else (2 * nw, ic, jb * sl, LANES)
-                if pipe == 5
-                else ((2 if pipe in (1, 2, 4) else 1) * nw, jb, ic, sl, LANES),
-                jnp.bfloat16 if pipe in (4, 7) else jnp.float32,
-            ),
+            _sbuf_scratch(pipe, nc, nw, jb, ic, sl, pack),
             pltpu.VMEM((nw, nq, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, 2 * jb + 1, sl, LANES), jnp.float32),
         ],
@@ -1030,14 +1046,7 @@ def sw_pallas_stream(
         scratch_shapes=[
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
-            pltpu.VMEM(
-                (2, ic // pack, nw * jb * sl, LANES)
-                if pipe in (6, 7)
-                else (2 * nw, ic, jb * sl, LANES)
-                if pipe == 5
-                else ((2 if pipe in (1, 2, 4) else 1) * nw, jb, ic, sl, LANES),
-                jnp.bfloat16 if pipe in (4, 7) else jnp.float32,
-            ),
+            _sbuf_scratch(pipe, nc, nw, jb, ic, sl, pack),
             pltpu.VMEM((nw, nq, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, 2 * jb + 1, sl, LANES), jnp.float32),
             pltpu.VMEM((nq, sl, LANES), jnp.int32),
@@ -1138,14 +1147,7 @@ def _stream_striped_pass(
         scratch_shapes=[
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, lqp, sl, LANES), jnp.float32),
-            pltpu.VMEM(
-                (2, ic // pack, nw * jb * sl, LANES)
-                if pipe in (6, 7)
-                else (2 * nw, ic, jb * sl, LANES)
-                if pipe == 5
-                else ((2 if pipe in (1, 2, 4) else 1) * nw, jb, ic, sl, LANES),
-                jnp.bfloat16 if pipe in (4, 7) else jnp.float32,
-            ),
+            _sbuf_scratch(pipe, nc, nw, jb, ic, sl, pack),
             pltpu.VMEM((nw, 1, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, 2 * jb + 1, sl, LANES), jnp.float32),
             pltpu.VMEM((nw, sl, LANES), jnp.float32),
@@ -1402,13 +1404,19 @@ PACK_BOUNDS_ROUND = {1: float(_BF16_EXACT), 2: 255.0, 4: 31.0}
 PRODUCTION_UPK = "floor"
 
 
-def _vmem_ic_budget(lq, nw_c, jb, ui, pipe, pk, nq=1, reserve=0):
+def _vmem_ic_budget(lq, nw_c, jb, ui, pipe, pk, nq=1, reserve=0,
+                    nc1=False):
     """VMEM accounting shared by choose_config and config_fits_vmem.
 
     Returns (ic_budget, lat, lqp): the largest S-chunk row count (in
     LOGICAL query rows; the packed s_buf holds ic/pk physical rows) that
     fits the empirical _VMEM_BUDGET after the rolling rows, chain state,
     per-query bests, and the resident one-hot encodings.
+
+    ``nc1``: the caller intends a single full-height chunk (ic = lqp,
+    nc == 1) — the kernel then allocates only ONE s_buf parity
+    (_sbuf_scratch: no second chunk to double-buffer), so the budget a
+    full-height chunk must fit is the single-parity one.
     """
     budget = _VMEM_BUDGET - reserve
     # per-query rows pad to the (ui, pack) lattice so packed groups
@@ -1423,7 +1431,8 @@ def _vmem_ic_budget(lq, nw_c, jb, ui, pipe, pk, nq=1, reserve=0):
     # limit compile fine -- Mosaic appears to stream them into the dots)
     # pack>1 widens the one-hot along K by the pack factor.
     onehot = nw_c * jb * pk * ALPHA * WINDOW_LANES
-    parity = 2 if pipe else 1  # pipe modes double-buffer the S block
+    # pipe modes double-buffer the S block — except the nc==1 case
+    parity = 2 if (pipe and not nc1) else 1
     # packed s_buf holds ic/pack physical rows per chunk
     ic_budget = pk * (budget - rows - state - best - onehot) / (
         parity * nw_c * jb * WINDOW_LANES * 4
@@ -1441,8 +1450,11 @@ def config_fits_vmem(
     with the same accounting, so a sweep never spends a hardware compile
     on a shape that cannot allocate.
     """
-    ic_budget, _, lqp = _vmem_ic_budget(
-        lq, cfg.nw, cfg.jb, cfg.ui, cfg.pipe, cfg.pack, nq, reserve
+    lat = cfg.ui * cfg.pack // math.gcd(cfg.ui, cfg.pack)
+    lqp = nq * (-(-lq // lat) * lat)
+    ic_budget, _, _ = _vmem_ic_budget(
+        lq, cfg.nw, cfg.jb, cfg.ui, cfg.pipe, cfg.pack, nq, reserve,
+        nc1=cfg.ic >= lqp,
     )
     return cfg.ic <= min(ic_budget, lqp)
 
@@ -1512,14 +1524,20 @@ def choose_config(
         ic_budget, lat, lqp = _vmem_ic_budget(
             lq, nw_c, jb, ui, pipe, pk, nq, reserve
         )
+        # a full-height chunk (nc == 1) allocates a single s_buf parity
+        # (_sbuf_scratch), so it gets the larger single-parity budget
+        ic_budget1, _, _ = _vmem_ic_budget(
+            lq, nw_c, jb, ui, pipe, pk, nq, reserve, nc1=True
+        )
         if full_ic:
             # the whole padded query's S in one dot per grid step
-            ic = lqp if ic_budget >= lqp else 0
+            ic = lqp if ic_budget1 >= lqp else 0
         elif pipe:
             ic = lat if ic_budget >= lat else 0
         elif lq <= 48:
             # short queries: one chunk covering the whole (padded) query
-            ic = min(lqp, int(ic_budget // lat) * lat)
+            ic = (lqp if ic_budget1 >= lqp
+                  else min(lqp, int(ic_budget // lat) * lat))
         else:
             # long queries: the smallest legal S chunk measured fastest
             # (small production granules interleave better with the DP loop)

@@ -48,12 +48,23 @@ class TestChooseConfig:
                     if cfg is None:
                         continue
                     assert config_fits_vmem(lq, cfg, nq=nq, reserve=reserve)
-        # A known-infeasible explicit candidate (the 32-chain full-height
-        # shape at lq=144 needs ~15.5 MiB > budget).
+        # A known-infeasible explicit candidate (48 chains full-height
+        # at lq=144 overruns even the single-parity budget).
         from seqalign_tpu.ops.swa_pallas import KernelConfig
 
-        big = KernelConfig(nw=2, jb=16, ui=16, ic=144, pipe=6, pack=4)
+        big = KernelConfig(nw=3, jb=16, ui=16, ic=144, pipe=6, pack=4)
         assert not config_fits_vmem(144, big)
+        # The 32-chain full-height shape fits ONLY because nc == 1
+        # allocates a single s_buf parity (_sbuf_scratch): under the
+        # double-buffered accounting the same shape must NOT reach full
+        # height (this was the round-4 audit's 15.5 MiB > budget bound).
+        from seqalign_tpu.ops.swa_pallas import _vmem_ic_budget
+
+        full32 = KernelConfig(nw=2, jb=16, ui=16, ic=144, pipe=6, pack=4)
+        assert config_fits_vmem(144, full32)
+        b2, _, lqp = _vmem_ic_budget(144, 2, 16, 16, 6, 4)
+        b1, _, _ = _vmem_ic_budget(144, 2, 16, 16, 6, 4, nc1=True)
+        assert b2 < lqp <= b1
         # The adopted lq=144 production shape fits with room to spare.
         ok = KernelConfig(nw=2, jb=4, ui=16, ic=144, pipe=6, pack=4)
         assert config_fits_vmem(144, ok)
@@ -89,8 +100,10 @@ class TestChooseConfig:
                         # VMEM footprint (incl. half-weighted one-hot
                         # stack temporaries widened by pack, per-query
                         # bests, the pipe modes' double-buffered S block
-                        # at ic/pack physical rows) stays under budget
-                        parity = 2 if cfg.pipe else 1
+                        # at ic/pack physical rows) stays under budget.
+                        # A full-height chunk (nc == 1) allocates a
+                        # single parity (_sbuf_scratch).
+                        parity = 2 if (cfg.pipe and cfg.ic < lqp) else 1
                         vmem = (
                             2 * lqp * cfg.nw * 4096
                             + parity * cfg.nw * cfg.jb
@@ -304,6 +317,62 @@ class TestPallasInterpret:
                 )
             )
             np.testing.assert_array_equal(got[:96], want[:96])
+
+    def test_single_parity_full_height_fast(self, rng):
+        """nc==1 single-parity s_buf (_sbuf_scratch): multi-window
+        full-height packed production is bit-exact (cheap jb=4 shape;
+        the high-jb family is in the slow-tier test below)."""
+        go, ge = -3, -1
+        prof = rng.integers(-8, 12, (8, 32)).astype(np.int32)
+        db = np.full((2, 8, 1024), PAD_INDEX, dtype=np.int32)
+        db[:, :, :60] = rng.integers(1, 27, (2, 8, 60))
+        want = np.concatenate([
+            np.asarray(sw_wavefront(prof, db[w], go, ge))[:60]
+            for w in range(2)
+        ])
+        got = np.asarray(
+            sw_pallas_windows(
+                prof, db, go, ge,
+                nw=2, jb=4, ui=4, ic=8, pipe=6, pack=4, interpret=True,
+            )
+        )
+        got = np.concatenate([got[:60], got[1024 : 1024 + 60]])
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.slow
+    def test_single_parity_full_height_multiwindow(self, rng):
+        """nc==1 configs allocate ONE s_buf parity (_sbuf_scratch) —
+        scores must be bit-identical in the high-jb multi-window shapes
+        the fix made feasible (the 32-chain full-height family), and in
+        their chunked (nc>1, still double-buffered) counterparts.
+        """
+        go, ge = -3, -1
+        lq, sl, lanes = 8, 2, 2 * 128
+        prof = rng.integers(-8, 12, (lq, 32)).astype(np.int32)
+        db = np.full((2, 16, lanes), PAD_INDEX, dtype=np.int32)
+        db[:, :, :80] = rng.integers(1, 27, (2, 16, 80))
+        want = np.concatenate([
+            np.asarray(sw_wavefront(prof, db[w], go, ge))[:80]
+            for w in range(2)
+        ])
+        for ic, pipe, pack in (
+            (8, 6, 4),   # full height, nc=1: single parity (the fix)
+            (8, 6, 2),
+            (8, 5, 1),   # full height, per-window fused dots
+            (8, 1, 1),   # full height, unfused pipe
+            (4, 6, 4),   # chunked, nc=2: double parity retained
+            (4, 1, 1),
+        ):
+            got = np.asarray(
+                sw_pallas_windows(
+                    prof, db, go, ge,
+                    sl=sl, nw=2, jb=16, ui=4, ic=ic, pipe=pipe, pack=pack,
+                    interpret=True,
+                )
+            )
+            got = np.concatenate([got[:80], got[lanes : lanes + 80]])
+            np.testing.assert_array_equal(got, want, err_msg=str(
+                (ic, pipe, pack)))
 
     def test_packed_requires_fused_mode(self, blosum62):
         sc = blosum62

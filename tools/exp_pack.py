@@ -276,17 +276,23 @@ def main() -> int:
                     KernelConfig(nw=4, jb=4, ui=16, ic=lqp4, pipe=6, pack=4),
                     KernelConfig(nw=2, jb=8, ui=16, ic=lqp4, pipe=6, pack=4),
                     KernelConfig(nw=3, jb=4, ui=16, ic=lqp4, pipe=6, pack=4),
-                    # 24 register chains — the most the VMEM budget
-                    # allows at full height (32-chain (2,16,16) pack=4
-                    # needs 15.5 MiB > budget; config_fits_vmem audit)
                     KernelConfig(nw=3, jb=8, ui=16, ic=lqp4, pipe=6,
+                                 pack=4),
+                    # 32 register chains at full height — feasible since
+                    # the nc==1 single-parity s_buf fix (_sbuf_scratch):
+                    # the const-S 469-GCUPS ceiling was measured at 32
+                    # chains, so these chase it at full dot height
+                    KernelConfig(nw=2, jb=16, ui=16, ic=lqp4, pipe=6,
+                                 pack=4),
+                    KernelConfig(nw=4, jb=8, ui=16, ic=lqp4, pipe=6,
                                  pack=4),
                 ]
             else:
-                # lq > 192: (2,4,16) full-height pack=4 overruns VMEM at
-                # lq=512 (17.1 MiB); nw=1 full-height variants fit — the
-                # chain count drops but full dot height is the lever
+                # lq > 192: high-nw full-height pack=4 overruns VMEM at
+                # lq=512 (rows dominate); these fit post-parity-fix —
+                # full dot height is the lever, chains second
                 cands += [
+                    KernelConfig(nw=2, jb=4, ui=16, ic=lqp4, pipe=6, pack=4),
                     KernelConfig(nw=1, jb=8, ui=16, ic=lqp4, pipe=6, pack=4),
                     KernelConfig(nw=1, jb=4, ui=16, ic=lqp4, pipe=6, pack=4),
                 ]
