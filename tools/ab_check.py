@@ -1,0 +1,202 @@
+"""Interleaved (drift-immune) A/B of kernel configs on hardware.
+
+Round-4 measurement finding: GCUPS through the axon tunnel drifts by
+~±20% on a few-minute timescale (docs/hw_r4/step4_upk.log vs
+step3_sweep.log measured the SAME config 20% apart), so comparing
+numbers from different tool sessions — or even the start vs end of one
+long sweep — is invalid.  This tool removes drift from the comparison:
+every variant's chain is compiled up front, then measurements proceed
+in round-robin ROUNDS over all variants, so each variant samples every
+time-slice of the session equally.  Medians across rounds are then
+directly comparable; the reported spread is honest run-to-run noise.
+
+Timing discipline mirrors tools/exp_pack.py (ONE jitted dynamic-rep
+program per variant; two-point (1, 9)-rep subtraction cancels dispatch
+overhead) — see exp_pack's docstring for why.  Exactness of every
+variant is verified against the CPU wavefront engine before timing.
+
+Usage (TPU host):
+  python tools/ab_check.py --lq 144 --rounds 5 \
+      --cand 2,4,16,144,6,4 --cand 3,8,16,144,6,4 \
+      --cand 3,8,16,144,6,4,round
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def parse_cand(s):
+    parts = s.split(",")
+    if len(parts) not in (6, 7):
+        raise ValueError(f"--cand wants nw,jb,ui,ic,pipe,pack[,upk]: {s}")
+    nw, jb, ui, ic, pipe, pack = (int(x) for x in parts[:6])
+    upk = parts[6] if len(parts) == 7 else "floor"
+    return nw, jb, ui, ic, pipe, pack, upk
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--lq", type=int, required=True)
+    parser.add_argument("--lb", type=int, default=2048)
+    parser.add_argument("--rounds", type=int, default=5)
+    parser.add_argument("--reps-hi", type=int, default=9,
+                        help="high point of the two-point measurement")
+    parser.add_argument("--cand", action="append", default=[],
+                        help="nw,jb,ui,ic,pipe,pack[,upk] (repeatable)")
+    parser.add_argument("--include-production", action="store_true",
+                        help="prepend choose_config's shape for --lq")
+    args = parser.parse_args()
+
+    from seqalign_tpu.pipeline import _enable_compile_cache
+
+    _enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    plat = os.environ.get("SEQALIGN_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+    interp = os.environ.get("SEQALIGN_TOOLS_INTERPRET") == "1"
+    if not interp and jax.default_backend() != "tpu":
+        print("SKIP: no TPU backend")
+        return 0
+    if interp:
+        import functools
+
+        import seqalign_tpu.ops.swa_pallas as _sp
+
+        _sp.sw_pallas_windows = functools.partial(
+            _sp.sw_pallas_windows, interpret=True)
+
+    from seqalign_tpu.ops.swa_pallas import (
+        KernelConfig,
+        choose_config,
+        config_fits_vmem,
+        sw_pallas_windows,
+    )
+    from seqalign_tpu.ops.swa_xla import sw_wavefront
+
+    rng = np.random.default_rng(11)
+    lq, lb = args.lq, args.lb
+    cpu = jax.devices("cpu")[0]
+
+    variants = []
+    if args.include_production:
+        base = choose_config(lq, max_abs_bias=18.0)
+        if base is not None:
+            variants.append((base.nw, base.jb, base.ui, base.ic,
+                             base.pipe, base.pack, base.upk or "floor"))
+    for s in args.cand:
+        variants.append(parse_cand(s))
+    if not variants:
+        print("no variants")
+        return 1
+
+    # |P'| <= 12 + 3 + perturb 3 <= 18: safe for pack=4's 31-bound.
+    prof = rng.integers(-8, 12, (lq, 32)).astype(np.int32)
+    pj = jax.device_put(prof)
+
+    built = []
+    for v in variants:
+        nw, jb, ui, ic, pipe, pack, upk = v
+        cfg = KernelConfig(nw=nw, jb=jb, ui=ui, ic=ic, pipe=pipe,
+                           pack=pack, upk=upk)
+        if not config_fits_vmem(lq, cfg):
+            print(f"{cfg}: SKIP (exceeds VMEM budget)", flush=True)
+            continue
+        dbh = rng.integers(1, 27, (nw, lb, 1024)).astype(np.int32)
+        dj = jax.device_put(dbh)
+        jax.block_until_ready([dj, pj])
+        kw = dict(nw=nw, jb=jb, ui=ui, ic=ic, pipe=pipe, pack=pack)
+        if pack > 1:
+            kw["upk"] = upk
+
+        def make_chain(dj=dj, kw=kw):
+            @jax.jit
+            def chain(reps):
+                def body(i, carry):
+                    acc, _ = carry
+                    bump = (i % 4).astype(jnp.int32)
+                    out = sw_pallas_windows(
+                        pj.at[0, 0].add(bump), dj, -3, -1, **kw)
+                    return acc + out.reshape(-1)[0], out
+
+                out0 = jnp.zeros((nw * 8 * 128,), jnp.int32)
+                return jax.lax.fori_loop(
+                    0, reps, body, (jnp.zeros((), jnp.int32), out0))
+
+            return chain
+
+        chain = make_chain()
+        t0 = time.time()
+        try:
+            _, out1 = chain(1)
+            out1 = np.asarray(out1)
+        except Exception as ex:
+            print(f"{cfg}: COMPILE FAIL {str(ex)[:90]}", flush=True)
+            continue
+        load_s = time.time() - t0
+        with jax.default_device(cpu):
+            want = np.concatenate([
+                np.asarray(sw_wavefront(prof, dbh[w], -3, -1))
+                for w in range(nw)
+            ])
+        ok = bool((out1 == want).all())
+        print(f"{cfg}: exact={ok}  (load {load_s:.0f}s)", flush=True)
+        built.append((cfg, chain, ok))
+
+    if not built:
+        print("no runnable variants")
+        return 1
+
+    hi = args.reps_hi
+    cells = lq * lb * 1024  # per window per rep
+
+    def one(chain, reps):
+        t0 = time.perf_counter()
+        acc, _ = chain(reps)
+        np.asarray(acc)
+        return time.perf_counter() - t0
+
+    # warm every chain's dispatch path once before the timed rounds
+    for cfg, chain, _ in built:
+        one(chain, 1)
+
+    samples = {i: [] for i in range(len(built))}
+    for r in range(args.rounds):
+        for i, (cfg, chain, _) in enumerate(built):
+            t1 = min(one(chain, 1) for _ in range(2))
+            t9 = min(one(chain, hi) for _ in range(2))
+            dt = max((t9 - t1) / (hi - 1), 1e-9)
+            g = cells * cfg.nw / dt / 1e9
+            samples[i].append(g)
+        print(f"round {r + 1}/{args.rounds}: "
+              + "  ".join(f"v{i}={samples[i][-1]:.1f}"
+                          for i in range(len(built))), flush=True)
+
+    print(f"\n=== lq={lq} lb={lb} interleaved medians "
+          f"({args.rounds} rounds) ===")
+    meds = []
+    for i, (cfg, _, ok) in enumerate(built):
+        gs = sorted(samples[i])
+        med = float(np.median(gs))
+        spread = (gs[-1] - gs[0]) / med * 100 if med else 0.0
+        meds.append(med)
+        print(f"v{i} {cfg}: exact={ok}  median {med:6.1f} GCUPS "
+              f"(spread {spread:.1f}%)", flush=True)
+    best = int(np.argmax(meds))
+    print(f"WINNER v{best}: {built[best][0]}  {meds[best]:.1f} GCUPS "
+          f"({meds[best] / meds[0]:.3f}x vs v0)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
