@@ -1348,20 +1348,30 @@ _SHAPES_LONG = [
     (2, 8, 2, 0, False), (1, 4, 8, 0, False), (1, 4, 4, 0, False),
     (1, 2, 1, 0, False),
 ]
-# 96 <= lq < 256: fused production wins or ties ((2,4,16) pipe=6: 216-239
-# GCUPS at lq=144 vs 204 for every pipe=0 shape; 219 vs 222 at 192; 220 vs
-# 224 at 256 — the boundary sits where the tie flips).
+# 96 <= lq < 256: fused full-height packed production wins (round-4
+# hardware A/B, interleaved/drift-immune — docs/hw_r4/ab_lq144.log:
+# (4,8,16) pack=4 255.8 GCUPS and (3,8,16) 255.1 vs (2,4,16) pack=4
+# 227.2 and pipe=0 ~204; the freed s_buf VMEM spent on 24-32 register
+# chains is the VPU/MXU-overlap lever DESIGN.md's cost model predicted).
 _SHAPES_XLONG = [
+    (4, 8, 16, 6, True, 4), (3, 8, 16, 6, True, 4),
     (2, 4, 16, 6, True, 4),
     (2, 4, 16, 6, False), (4, 4, 16, 6, False),
     (4, 4, 16, 0, False), (2, 4, 16, 0, False), (2, 8, 16, 0, False),
     (1, 4, 32, 0, False), (1, 4, 16, 0, False), (1, 4, 8, 0, False),
     (1, 2, 1, 0, False),
 ]
-# Beyond ~192 rows, deep row unrolls win on their own (in-body wavefront
-# ILP) and fused production stops helping (224 vs 220 at lq=256, 243 vs
-# 227 at lq=512 - docs/DESIGN.md round-2 table).
+# lq >= 256: round-2's "fused stops helping past 192" verdict was an
+# artifact of CHUNKED dots — FULL-HEIGHT pack=4 (feasible since the
+# nc==1 single-parity s_buf fix) wins clearly once the whole padded
+# query is one dot: round-4 interleaved A/B at lq=256 gives (1,8,16)
+# pack=4 266.0 / (2,4,16) 254.4 vs pipe=0 production 222.6
+# (docs/hw_r4/ab_lq256.log); same-session 3-rep medians at lq=512 give
+# 279.1/278.9 vs 232.4 (step3_sweep.log, spreads <9%). Entries are
+# VMEM-gated per lq by choose_config, so huge queries where full height
+# no longer fits fall through to the pipe=0 unroll shapes unchanged.
 _SHAPES_XXLONG = [
+    (1, 8, 16, 6, True, 4), (2, 4, 16, 6, True, 4),
     (4, 4, 16, 0, False), (2, 4, 16, 0, False), (2, 8, 16, 0, False),
     (1, 4, 32, 0, False), (1, 4, 16, 0, False), (1, 4, 8, 0, False),
     (1, 2, 1, 0, False),
@@ -1372,8 +1382,13 @@ _SHAPES_XXLONG = [
 # (hardware queue step [8]), prepend the winning shape here — e.g.
 # (2, 4, 16, 6, True, 4) — and the pipeline's striped path picks it up
 # through the same max_abs_bias gate as the flat kernels (VERDICT
-# round-3 item 5). Until then this is exactly the XXLONG fallback list.
-_SHAPES_STRIPE = list(_SHAPES_XXLONG)
+# round-3 item 5). Frozen to the pipe=0 unroll list (the pre-round-4
+# XXLONG) until that measurement lands.
+_SHAPES_STRIPE = [
+    (4, 4, 16, 0, False), (2, 4, 16, 0, False), (2, 8, 16, 0, False),
+    (1, 4, 32, 0, False), (1, 4, 16, 0, False), (1, 4, 8, 0, False),
+    (1, 2, 1, 0, False),
+]
 
 # Multi-query batching adds a predicated chain reset + dynamic best
 # indexing to the loop body; jb=8 variants of that body crash Mosaic.
@@ -1397,10 +1412,12 @@ PACK_BOUNDS = {1: float(_BF16_EXACT), 2: 128.0, 4: 31.0}
 PACK_BOUNDS_ROUND = {1: float(_BF16_EXACT), 2: 255.0, 4: 31.0}
 
 #: Production packed-field extraction mode. "round" costs fewer VPU ops
-#: per group (12 vs 15) and widens the pack=2 bound to 255, but is
-#: pending hardware validation (tools/exp_pack.py --upk round) — flip
-#: this single constant to adopt it; choose_config and the pipeline
-#: follow automatically.
+#: per group (12 vs 15) and widens the pack=2 bound to 255, but LOST the
+#: round-4 interleaved hardware A/B decisively: 211.0 vs 255.1 GCUPS at
+#: the same (3,8,16,144,pipe6,pack4) shape (docs/hw_r4/ab_lq144.log) —
+#: the f32 round-to-nearest extraction sits on the VPU critical path,
+#: the saved bias-subtract does not. Keep "floor"; "round" remains
+#: selectable per-call for the wider pack=2 bias range (255 vs 128).
 PRODUCTION_UPK = "floor"
 
 
