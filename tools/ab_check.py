@@ -43,6 +43,9 @@ def parse_cand(s):
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--lq", type=int, required=True)
+    parser.add_argument("--nq", type=int, default=1,
+                        help="row-stacked multi-query: stack N queries "
+                        "per dispatch (the _SHAPES_MQ decision)")
     parser.add_argument("--lb", type=int, default=2048)
     parser.add_argument("--rounds", type=int, default=5)
     parser.add_argument("--reps-hi", type=int, default=9,
@@ -85,12 +88,12 @@ def main() -> int:
     from seqalign_tpu.ops.swa_xla import sw_wavefront
 
     rng = np.random.default_rng(11)
-    lq, lb = args.lq, args.lb
+    lq, lb, nq = args.lq, args.lb, args.nq
     cpu = jax.devices("cpu")[0]
 
     variants = []
     if args.include_production:
-        base = choose_config(lq, max_abs_bias=18.0)
+        base = choose_config(lq, nq=nq, max_abs_bias=18.0)
         if base is not None:
             variants.append((base.nw, base.jb, base.ui, base.ic,
                              base.pipe, base.pack, base.upk or "floor"))
@@ -101,7 +104,10 @@ def main() -> int:
         return 1
 
     # |P'| <= 12 + 3 + perturb 3 <= 18: safe for pack=4's 31-bound.
-    prof = rng.integers(-8, 12, (lq, 32)).astype(np.int32)
+    if nq > 1:
+        prof = rng.integers(-8, 12, (nq, lq, 32)).astype(np.int32)
+    else:
+        prof = rng.integers(-8, 12, (lq, 32)).astype(np.int32)
     pj = jax.device_put(prof)
 
     built = []
@@ -109,7 +115,7 @@ def main() -> int:
         nw, jb, ui, ic, pipe, pack, upk = v
         cfg = KernelConfig(nw=nw, jb=jb, ui=ui, ic=ic, pipe=pipe,
                            pack=pack, upk=upk)
-        if not config_fits_vmem(lq, cfg):
+        if not config_fits_vmem(lq, cfg, nq=nq):
             print(f"{cfg}: SKIP (exceeds VMEM budget)", flush=True)
             continue
         dbh = rng.integers(1, 27, (nw, lb, 1024)).astype(np.int32)
@@ -119,19 +125,24 @@ def main() -> int:
         if pack > 1:
             kw["upk"] = upk
 
-        def make_chain(dj=dj, kw=kw):
+        out_shape = ((nq, nw * 8 * 128) if nq > 1
+                     else (nw * 8 * 128,))
+
+        def make_chain(dj=dj, kw=kw, out_shape=out_shape):
             @jax.jit
             def chain(reps):
                 def body(i, carry):
                     acc, _ = carry
                     bump = (i % 4).astype(jnp.int32)
-                    out = sw_pallas_windows(
-                        pj.at[0, 0].add(bump), dj, -3, -1, **kw)
+                    p = (pj.at[:, 0, 0].add(bump) if nq > 1
+                         else pj.at[0, 0].add(bump))
+                    out = sw_pallas_windows(p, dj, -3, -1, **kw)
                     return acc + out.reshape(-1)[0], out
 
-                out0 = jnp.zeros((nw * 8 * 128,), jnp.int32)
                 return jax.lax.fori_loop(
-                    0, reps, body, (jnp.zeros((), jnp.int32), out0))
+                    0, reps, body,
+                    (jnp.zeros((), jnp.int32),
+                     jnp.zeros(out_shape, jnp.int32)))
 
             return chain
 
@@ -145,10 +156,19 @@ def main() -> int:
             continue
         load_s = time.time() - t0
         with jax.default_device(cpu):
-            want = np.concatenate([
-                np.asarray(sw_wavefront(prof, dbh[w], -3, -1))
-                for w in range(nw)
-            ])
+            if nq > 1:
+                want = np.stack([
+                    np.concatenate([
+                        np.asarray(sw_wavefront(prof[q], dbh[w], -3, -1))
+                        for w in range(nw)
+                    ])
+                    for q in range(nq)
+                ])
+            else:
+                want = np.concatenate([
+                    np.asarray(sw_wavefront(prof, dbh[w], -3, -1))
+                    for w in range(nw)
+                ])
         ok = bool((out1 == want).all())
         print(f"{cfg}: exact={ok}  (load {load_s:.0f}s)", flush=True)
         built.append((cfg, chain, ok))
@@ -158,7 +178,7 @@ def main() -> int:
         return 1
 
     hi = args.reps_hi
-    cells = lq * lb * 1024  # per window per rep
+    cells = nq * lq * lb * 1024  # per window per rep
 
     def one(chain, reps):
         t0 = time.perf_counter()
@@ -182,7 +202,8 @@ def main() -> int:
               + "  ".join(f"v{i}={samples[i][-1]:.1f}"
                           for i in range(len(built))), flush=True)
 
-    print(f"\n=== lq={lq} lb={lb} interleaved medians "
+    tag = f" nq={nq}" if nq > 1 else ""
+    print(f"\n=== lq={lq}{tag} lb={lb} interleaved medians "
           f"({args.rounds} rounds) ===")
     meds = []
     for i, (cfg, _, ok) in enumerate(built):
