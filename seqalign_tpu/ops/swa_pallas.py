@@ -1392,9 +1392,16 @@ _SHAPES_STRIPE = [
 
 # Multi-query batching adds a predicated chain reset + dynamic best
 # indexing to the loop body; jb=8 variants of that body crash Mosaic.
-# Fused production first (interpret-verified; HW-verified via
-# tpu_check --paths), pipe=0 fallbacks after.
+# ROW STACKING ADOPTED (round-4 interleaved A/B, docs/hw_r4/ab_mq17.log):
+# stacking the whole query block into one full-height fused dot beats
+# blocks-of-one production 2.3-2.5x at nq=8 lq=17 (228.4 / 220.8 / 212.8
+# GCUPS for pack 2/4/1 stacked vs 93.1 for the old (6,4,4) chunked
+# production; single-session step5_mq.log agrees at lq=24/48). The
+# stacked pack=1 entry keeps unknown-bias callers on the stacked path;
+# chunked entries remain as VMEM fallbacks for huge nq*lq stacks.
 _SHAPES_MQ = [
+    (2, 4, 2, 6, True, 2), (2, 4, 2, 6, True, 4), (4, 4, 2, 6, True, 4),
+    (2, 4, 2, 6, True),
     (8, 4, 8, 6, False), (6, 4, 4, 6, False),
     (8, 4, 8, 0, False), (8, 4, 4, 0, False), (6, 4, 4, 0, False),
     (4, 4, 4, 0, False), (2, 4, 4, 0, False), (1, 4, 4, 0, False),
