@@ -44,6 +44,14 @@ def main() -> int:
     parser.add_argument("--stripe-rows", type=int, default=512,
                         help="query rows per stripe pass (small values "
                         "make the CPU interpret pre-flight traceable)")
+    parser.add_argument("--ab", action="store_true",
+                        help="interleaved stripe-config A/B (drift-immune "
+                        "round-robin medians, tools/ab_check.py "
+                        "discipline); --scand adds candidates")
+    parser.add_argument("--scand", action="append", default=[],
+                        help="nw,jb,ui,ic,pipe,pack,stripe_rows "
+                        "(repeatable; --ab only)")
+    parser.add_argument("--rounds", type=int, default=5)
     args = parser.parse_args()
 
     from seqalign_tpu.pipeline import _enable_compile_cache
@@ -78,7 +86,9 @@ def main() -> int:
                                                interpret=True))
 
     from seqalign_tpu.ops.swa_pallas import (
+        KernelConfig,
         choose_config,
+        config_fits_vmem,
         sw_pallas_stream_striped,
     )
     from seqalign_tpu.ops.swa_xla import sw_wavefront
@@ -86,6 +96,11 @@ def main() -> int:
     rng = np.random.default_rng(31)
     lb, nw = args.lb, args.nw
     cpu = jax.devices("cpu")[0]
+
+    if args.ab:
+        return _ab(args, jax, rng, KernelConfig, choose_config,
+                   config_fits_vmem, sw_pallas_stream_striped,
+                   sw_wavefront, cpu)
     # striped=True: measure the SAME table the pipeline's striped path
     # selects from (_SHAPES_STRIPE), so adopted packed-stripe shapes show
     # up here without flag juggling; --pipe/--pack still override below.
@@ -153,6 +168,131 @@ def main() -> int:
             f"warm {warm_s:.0f}s)",
             flush=True,
         )
+    return 0
+
+
+def _ab(args, jax, rng, KernelConfig, choose_config, config_fits_vmem,
+        sw_pallas_stream_striped, sw_wavefront, cpu):
+    """Interleaved stripe-config A/B at lq=args.lq[0].
+
+    Session drift (~±20%, docs/DESIGN.md round-4) makes cross-session
+    stripe comparisons invalid; here every variant is compiled + warmed
+    up front, exactness-checked across a >1-stripe boundary, then timed
+    in round-robin rounds so each samples every time slice. v0 is the
+    production striped config (choose_config(striped=True)).
+    """
+    import time as _t
+
+    lq = args.lq[0] if args.lq else 35_000
+    lb = args.lb
+
+    # (nw, jb, ui, ic, pipe, pack, stripe_rows); v0 = production.
+    base = choose_config(args.stripe_rows, nw_max=args.nw,
+                         max_abs_bias=18.0, striped=True)
+    variants = [(base.nw, base.jb, base.ui, base.ic, base.pipe,
+                 base.pack, args.stripe_rows)]
+    for s in args.scand:
+        parts = [int(x) for x in s.split(",")]
+        if len(parts) != 7:
+            raise ValueError(f"--scand wants nw,jb,ui,ic,pipe,pack,sr: {s}")
+        variants.append(tuple(parts))
+
+    streams_cache = {}
+
+    def streams_for(nw_v, jb_v, n_positions):
+        if (nw_v, n_positions) not in streams_cache:
+            streams_cache[(nw_v, n_positions)] = rng.integers(
+                1, 27, (nw_v, n_positions, 1024)).astype(np.int32)
+        streams = streams_cache[(nw_v, n_positions)]
+        fs = np.zeros((n_positions // jb_v, nw_v, 2), dtype=np.int32)
+        for w in range(nw_v):
+            fs[-1, w, 1] = 1 + w
+        return streams, fs
+
+    vq = args.verify_rows or 1200
+    vprof = rng.integers(-8, 12, (vq, 32)).astype(np.int32)
+    prof = rng.integers(-8, 12, (lq, 32)).astype(np.int32)
+    pj = jax.device_put(prof)
+
+    built = []
+    for v in variants:
+        nw_v, jb_v, ui_v, ic_v, pipe_v, pack_v, sr_v = v
+        cfg = KernelConfig(nw=nw_v, jb=jb_v, ui=ui_v, ic=ic_v,
+                           pipe=pipe_v, pack=pack_v, upk="floor")
+        tag = f"{cfg} sr={sr_v}"
+        # per-pass VMEM: each stripe is a <=sr-row query (+1 MiB reserve
+        # for the boundary-state blocks the striped kernel adds)
+        if not config_fits_vmem(sr_v, cfg, reserve=(1 << 20)):
+            print(f"{tag}: SKIP (exceeds VMEM budget)", flush=True)
+            continue
+        kw = dict(nw=nw_v, jb=jb_v, ui=ui_v, ic=ic_v, pipe=pipe_v,
+                  pack=pack_v, stripe_rows=sr_v)
+
+        vstreams, vfs = streams_for(nw_v, jb_v, 64)
+        t0 = _t.time()
+        try:
+            out = np.asarray(sw_pallas_stream_striped(
+                vprof, vstreams, vfs, -3, -1, nslots=nw_v, **kw))
+        except Exception as ex:
+            print(f"{tag}: COMPILE FAIL {str(ex)[:90]}", flush=True)
+            continue
+        load_s = _t.time() - t0
+        with jax.default_device(cpu):
+            want = np.stack([
+                np.asarray(sw_wavefront(vprof, vstreams[w], -3, -1))
+                for w in range(nw_v)
+            ])
+        ok = bool((out == want).all())
+
+        streams, fs = streams_for(nw_v, jb_v, lb)
+        sj = jax.device_put(streams)
+        jax.block_until_ready([sj, pj])
+
+        def make_scan(sj=sj, fs=fs, kw=kw, nw_v=nw_v):
+            def scan():
+                return np.asarray(sw_pallas_stream_striped(
+                    pj, sj, fs, -3, -1, nslots=nw_v, **kw))
+            return scan
+
+        scan = make_scan()
+        t0 = _t.time()
+        scan()  # big-lq program compile + load + warm (untimed)
+        load_s += _t.time() - t0
+        print(f"{tag}: exact={ok}  (load {load_s:.0f}s)", flush=True)
+        built.append((tag, scan, ok, nw_v))
+
+    if not built:
+        print("no runnable variants")
+        return 1
+
+    def one(scan):
+        t0 = _t.perf_counter()
+        scan()
+        return _t.perf_counter() - t0
+
+    samples = {i: [] for i in range(len(built))}
+    for r in range(args.rounds):
+        for i, (tag, scan, _, nw_v) in enumerate(built):
+            dt = min(one(scan) for _ in range(2))
+            g = lq * lb * nw_v * 1024 / dt / 1e9
+            samples[i].append(g)
+        print(f"round {r + 1}/{args.rounds}: "
+              + "  ".join(f"v{i}={samples[i][-1]:.1f}"
+                          for i in range(len(built))), flush=True)
+
+    print(f"\n=== stripe A/B lq={lq} lb={lb} interleaved medians "
+          f"({args.rounds} rounds) ===")
+    meds = []
+    for i, (tag, _, ok, _) in enumerate(built):
+        gs = sorted(samples[i])
+        med = float(np.median(gs))
+        spread = (gs[-1] - gs[0]) / med * 100 if med else 0.0
+        meds.append(med)
+        print(f"v{i} {tag}: exact={ok}  median {med:6.1f} GCUPS wall "
+              f"(spread {spread:.1f}%)", flush=True)
+    best = int(np.argmax(meds))
+    print(f"WINNER v{best}: {built[best][0]}  {meds[best]:.1f} GCUPS "
+          f"({meds[best] / meds[0]:.3f}x vs v0)", flush=True)
     return 0
 
 
