@@ -149,21 +149,20 @@ def _run_block(
     *static* (no dynamic indices, the round-1 blocker); ``pipe`` requires
     ``ic`` a multiple of ``ui`` (row groups emitted straight-line, no
     fori_loop boundary).
-      pipe=1: issue chunk c+1's dots before chunk c's DP rows;
-      pipe=2: spread those dots between DP rows at source level;
-      pipe=3: consume dot results as values (no s_buf round trip);
-      pipe=4: bf16 s_buf (half the S bytes);
+      pipe=0: per-(w,t) dots, fori_loop row groups (deep-unroll bands);
       pipe=5: fuse each window's JB dots into one taller dot;
       pipe=6: fuse EVERYTHING into ONE (IC,32)@(32,NW*JB*SL,LANES) dot per
               chunk — the merged-sublane s_buf layout makes the dot's
               natural output order the DP's read order, so fusion costs no
               relayout.
-    Measured: 1-4 change nothing (the wall is not scheduling, store slots,
-    or VMEM bandwidth); 5/6 are the production winners (dot COUNT is the
-    cost at short/mid query lengths: 2x at lq=17 with a whole-query fused
-    dot, +10-15%% at lq~96-190). choose_config encodes the hardware-
-    validated per-band rankings; modes 1-4 remain as the documented
-    negative results' repro (tools/exp_spipe.py).
+    Only 0/5/6 exist: the round-2 study also built modes 1-4 (dot
+    reordering, source-level spreading, register-valued S, bf16 s_buf)
+    and round 3 a bf16-dot-output mode 7 — ALL measured no-ops or losers
+    (the wall is dot COUNT, not scheduling, store slots, or VMEM
+    bandwidth; fused 5/6 win 2x at lq=17, +10-15%% at lq~96-190). They
+    were pruned in round 5; the negative results and their measurement
+    logs are preserved in docs/DESIGN.md ("S-production pipelining" and
+    the round-2/3 tables) and the committed exp_spipe logs.
 
     Packed production (``pack`` in {2, 4}, pipe=6 only — the round-3
     attack on the result-stream wall): ``pack`` query rows' biased scores
@@ -184,6 +183,11 @@ def _run_block(
     choose_config(max_abs_bias=...)); exactness is oracle-pinned in
     tests.
     """
+    if pipe not in (0, 5, 6):
+        raise ValueError(
+            f"pipe={pipe} was pruned (round 5): only 0/5/6 exist; the "
+            "removed modes' negative results live in docs/DESIGN.md"
+        )
     if lqe is None:
         lqe = lqp
     go_f = jnp.float32(go)
@@ -228,13 +232,10 @@ def _run_block(
             ).astype(jnp.bfloat16)
             for w in range(nw)
         ]
-    elif pipe in (6, 7):
+    elif pipe == 6:
         # Maximal fusion: ONE (IC,32)@(32, NW*JB*SL, LANES) dot per chunk
         # covers every window and db position; the merged-sublane layout
         # means the DP reads it back with static slices, no relayout.
-        # pipe=7 additionally keeps the dot OUTPUT in bf16 (exact: every
-        # product is a 0/1 weight times a small integer), halving the MXU
-        # result-vreg stream and the S stores/loads.
         # pack>1: the one-hot repeats along K (iota mod ALPHA) so each of
         # the pack per-row alphabet copies selects the same db char.
         c_iota6 = jax.lax.broadcasted_iota(
@@ -265,10 +266,7 @@ def _run_block(
         )  # (IC, SL, LANES) f32
 
     def produce_one(c, w, t, sbase):
-        r = dot_one(c, w, t)
-        if s_buf.dtype == jnp.bfloat16:  # pipe=4: halve S store/load traffic
-            r = r.astype(jnp.bfloat16)
-        s_buf[sbase + w, t] = r
+        s_buf[sbase + w, t] = dot_one(c, w, t)
 
     def produce_w(c, w, sbase):
         # pipe=5: all JB positions of window w in one dot; the output
@@ -284,7 +282,7 @@ def _run_block(
     def produce(c, sbase):
         if const_s:
             return  # roofline isolation: no S production at all
-        if pipe in (6, 7):
+        if pipe == 6:
             icp = ic // pack  # packed rows per chunk (pack=1: just ic)
             p_chunk = prof_ref[pl.ds(c * icp, icp), :]
             s_buf[sbase] = jax.lax.dot_general(
@@ -308,8 +306,6 @@ def _run_block(
     scarry = [[None] * jb for _ in range(nw)]
     if pack > 1:
         if pipe != 6:
-            # NOT pipe=7: its bf16 s_buf cannot hold packed field sums
-            # (~2^23 >> bf16's 8-bit mantissa) — silent corruption.
             raise ValueError("pack > 1 requires the fused-dot mode (pipe=6)")
         if ic % pack:
             raise ValueError(f"pack={pack} requires ic % pack == 0 ({ic=})")
@@ -320,18 +316,10 @@ def _run_block(
         """Field ``phase`` of the packed S value; x is the packed load at
         phase 0 (None afterwards — the remainder carries in scarry).
 
-        upk="floor": biased non-negative lower fields, floor extraction.
-        upk="round": signed fields, round-to-nearest extraction (exact:
-        the lower-field tail is strictly < half a unit of the field being
-        extracted); no bias subtraction, and the last phase is free.
+        Biased non-negative lower fields, floor extraction (upk="floor",
+        the only mode — see the PRODUCTION_UPK note for the removed
+        "round" variant's negative result).
         """
-        if upk == "round":
-            if phase == pack - 1:
-                return scarry[w][t] if phase else x
-            src = x if phase == 0 else scarry[w][t]
-            f = jnp.round(src * (1.0 / _pk_scale[phase]))
-            scarry[w][t] = src - f * _pk_scale[phase]
-            return f
         if phase == 0:
             hi = jnp.floor(x * (1.0 / _pk_scale[0]))
             scarry[w][t] = x - hi * _pk_scale[0]
@@ -348,12 +336,9 @@ def _run_block(
     # only the DP loop remains. Timing-only: scores are meaningless.
     sconst = jnp.full((sl, LANES), jnp.float32(7.0)) if const_s else None
 
-    def emit_group(c, g, sbase, hook=None, svals=None):
+    def emit_group(c, g, sbase):
         """DP over rows [c*ic + g*ui, +ui). ``g`` may be a Python int
-        (straight-line emission, pipe mode) or traced (fori_loop body).
-        ``hook(u)`` lets pipe=2 interleave next-chunk S dots between rows;
-        ``svals`` (pipe=3) supplies S as in-register dot results instead of
-        the VMEM s_buf round-trip."""
+        (straight-line emission, pipe mode) or traced (fori_loop body)."""
         base = c * ic + g * ui
         static = isinstance(base, int)
         if nq > 1:
@@ -385,9 +370,7 @@ def _run_block(
             for t in range(jb):
                 if const_s:
                     s = [sconst for _ in range(nw)]
-                elif svals is not None:
-                    s = [svals[w][t][i - c * ic] for w in range(nw)]
-                elif pipe in (6, 7):
+                elif pipe == 6:
                     if pack == 1:
                         s = [
                             s_buf[
@@ -451,8 +434,6 @@ def _run_block(
             for w in range(nw):
                 row_gg[w, i] = gg_prev[w]
                 row_e[w, i] = e_prev[w]
-            if hook is not None:
-                hook(u)
         for w in range(nw):
             for t in range(jb):
                 state_ref[w, 2 * t] = lgg[w][t]
@@ -469,36 +450,20 @@ def _run_block(
                 f"pipe mode requires ic % ui == 0 (got {ic=}, {ui=})"
             )
 
-        def emit_chunk(c, sbase, hook=None, svals=None):
+        def emit_chunk(c, sbase):
             for g in range(min(ic, lqp - c * ic) // ui):
-                emit_group(c, g, sbase, hook if g == 0 else None, svals)
+                emit_group(c, g, sbase)
 
-        wt_pairs = [(w, t) for w in range(nw) for t in range(jb)]
-        per_row = -(-len(wt_pairs) // ui)
-        if pipe == 3:
-            # Direct-value consumption: dot results feed the DP adds without
-            # the VMEM store+load round trip (register pressure permitting).
-            for c in range(nc):
-                svals = [[dot_one(c, w, t) for t in range(jb)] for w in range(nw)]
-                emit_chunk(c, 0, svals=svals)
-            return
         produce(0, 0)
-        par = 1 if pipe in (6, 7) else nw  # parity stride in s_buf leading dim
+        par = 1 if pipe == 6 else nw  # parity stride in s_buf leading dim
         for c in range(nc):
             sb_cur = (c % 2) * par
             sb_nxt = ((c + 1) % 2) * par
-            if c + 1 >= nc:
-                emit_chunk(c, sb_cur)
-            elif pipe in (1, 4, 5, 6, 7):  # 4: bf16 buf; 5-7: fused dots
+            if c + 1 < nc:
+                # Fused dots for chunk c+1 issue before chunk c's DP rows
+                # drain parity sb_cur (static double buffering).
                 produce(c + 1, sb_nxt)
-                emit_chunk(c, sb_cur)
-            else:  # pipe == 2: spread next-chunk dots across this chunk's rows
-
-                def hook(u, c=c, sb=sb_nxt):
-                    for w, t in wt_pairs[u * per_row : (u + 1) * per_row]:
-                        produce_one(c + 1, w, t, sb)
-
-                emit_chunk(c, sb_cur, hook)
+            emit_chunk(c, sb_cur)
     else:
         for c in range(nc):
             produce(c, 0)
@@ -523,15 +488,13 @@ def _sbuf_scratch(pipe, nc, nw, jb, ic, sl, pack):
     Single chunk -> single parity (and _vmem_ic_budget mirrors this).
     """
     par = 2 if (pipe and nc > 1) else 1
-    if pipe in (6, 7):
+    if pipe == 6:
         shape = (par, ic // pack, nw * jb * sl, LANES)
     elif pipe == 5:
         shape = (par * nw, ic, jb * sl, LANES)
-    else:
-        shape = ((par if pipe in (1, 2, 4) else 1) * nw, jb, ic, sl, LANES)
-    return pltpu.VMEM(
-        shape, jnp.bfloat16 if pipe in (4, 7) else jnp.float32
-    )
+    else:  # pipe == 0: single-parity per-(w,t) blocks
+        shape = (nw, jb, ic, sl, LANES)
+    return pltpu.VMEM(shape, jnp.float32)
 
 
 def _kernel(
@@ -754,13 +717,13 @@ class KernelConfig:
     jb: int  # db positions per register chain
     ui: int  # unrolled query rows per loop iteration
     ic: int  # query rows per substitution chunk
-    pipe: int = 0  # S-production mode 0-7; 5/6 = fused dots, the
-    # production winners — full mode table in _run_block / docs/DESIGN.md
+    pipe: int = 0  # S-production mode (0, 5, or 6); 5/6 = fused dots,
+    # the production winners — mode table in _run_block / docs/DESIGN.md
     pack: int = 1  # query rows packed per dot output (1, 2, 4; pipe=6
     # only) — see _run_block's packed-production docstring for the
     # |P'| bounds each pack level requires
-    upk: str = "floor"  # packed-field extraction mode ("floor"/"round");
-    # selects which PACK_BOUNDS* table gated this config in choose_config
+    upk: str = "floor"  # packed-field extraction mode; "floor" is the
+    # only mode (see the PRODUCTION_UPK note for the pruned "round")
 
 
 def _pack_profile(
@@ -773,25 +736,16 @@ def _pack_profile(
     the scales are powers of two), and the dot's per-output sum of the
     selected fields is exact in f32 (< 2^24). See _run_block's packed-
     production docstring for the bounds the caller must guarantee.
-
-    ``upk="round"`` stores SIGNED fields with no bias: extraction then
-    uses round-to-nearest (exact because the lower-field tail is strictly
-    below half a field unit), saving the per-phase bias subtraction in
-    the DP loop — 12 VPU ops per pack=4 group instead of 15.
     """
+    if upk != "floor":
+        raise ValueError(
+            f"upk={upk!r} was pruned (round 5): floor extraction is the "
+            "only mode — the 'round' variant lost the round-4 hardware "
+            "A/B decisively (docs/DESIGN.md, docs/hw_r4/ab_lq144.log)"
+        )
     rows = prof32.shape[0]
     pr = prof32.reshape(rows // pack, pack, ALPHA)
-    if upk == "round":
-        if pack == 2:
-            fields = [pr[:, 0] * 512.0, pr[:, 1]]
-        else:
-            fields = [
-                pr[:, 0] * 262144.0,
-                pr[:, 1] * 4096.0,
-                pr[:, 2] * 64.0,
-                pr[:, 3],
-            ]
-    elif pack == 2:
+    if pack == 2:
         fields = [pr[:, 0] * 512.0, pr[:, 1] + 128.0]
     else:
         fields = [
@@ -1377,14 +1331,19 @@ _SHAPES_XXLONG = [
     (1, 2, 1, 0, False),
 ]
 # Striped (unbounded-query) passes select from their OWN table so the
-# striped adoption decision is decoupled from the flat >=256 band: after
-# tools/longpair_check.py --pipe/--pack measures a packed-stripe win
-# (hardware queue step [8]), prepend the winning shape here — e.g.
-# (2, 4, 16, 6, True, 4) — and the pipeline's striped path picks it up
-# through the same max_abs_bias gate as the flat kernels (VERDICT
-# round-3 item 5). Frozen to the pipe=0 unroll list (the pre-round-4
-# XXLONG) until that measurement lands.
+# striped adoption decision is decoupled from the flat >=256 band.
+# PACKED STRIPE ADOPTED (round 5, from round 4's measurement): the
+# interleaved drift-immune A/B at lq=35,000 / sr=512
+# (docs/hw_r4/stripe_ab.log, tools/longpair_check.py --ab) measured
+# (2,4,16, ic=512 full-height, pipe=6, pack=4) at 247.2 GCUPS median
+# (2.1% spread, 5 rounds) vs the pipe=0 production's 215.6 — a 1.147x
+# win meeting the >=3-reps / win>spread adoption rule (tools/adopt.py).
+# The (1,8,16) sibling lost (203.3 median, 11.9% spread) and stays off
+# the table. The pipeline's striped path gates this entry on the same
+# max_abs_bias bound as the flat kernels; unknown-bias callers fall
+# through to the pipe=0 unroll list unchanged.
 _SHAPES_STRIPE = [
+    (2, 4, 16, 6, True, 4),
     (4, 4, 16, 0, False), (2, 4, 16, 0, False), (2, 8, 16, 0, False),
     (1, 4, 32, 0, False), (1, 4, 16, 0, False), (1, 4, 8, 0, False),
     (1, 2, 1, 0, False),
@@ -1411,20 +1370,18 @@ _SHAPES_MQ = [
 
 #: max |P'| (biased profile magnitude) each pack level represents exactly
 #: in its f32 field — see _run_block's packed-production docstring.
-#: Keyed by extraction mode: upk="floor" biases fields non-negative (the
-#: lower field must stay below the next field's unit), upk="round" stores
-#: signed fields (round-to-nearest extraction tolerates |low| <= 255 at
-#: pack=2 because the error term stays < 0.5 field units).
+#: upk="floor" biases fields non-negative (the lower field must stay
+#: below the next field's unit).
 PACK_BOUNDS = {1: float(_BF16_EXACT), 2: 128.0, 4: 31.0}
-PACK_BOUNDS_ROUND = {1: float(_BF16_EXACT), 2: 255.0, 4: 31.0}
 
-#: Production packed-field extraction mode. "round" costs fewer VPU ops
-#: per group (12 vs 15) and widens the pack=2 bound to 255, but LOST the
-#: round-4 interleaved hardware A/B decisively: 211.0 vs 255.1 GCUPS at
-#: the same (3,8,16,144,pipe6,pack4) shape (docs/hw_r4/ab_lq144.log) —
-#: the f32 round-to-nearest extraction sits on the VPU critical path,
-#: the saved bias-subtract does not. Keep "floor"; "round" remains
-#: selectable per-call for the wider pack=2 bias range (255 vs 128).
+#: Packed-field extraction mode: "floor" is the ONLY mode. A "round"
+#: variant (signed fields, round-to-nearest extraction: fewer VPU ops
+#: per group, 12 vs 15, and a wider pack=2 bound of 255) existed through
+#: round 4 but LOST the interleaved hardware A/B decisively — 211.0 vs
+#: 255.1 GCUPS at the same (3,8,16,144,pipe6,pack4) shape
+#: (docs/hw_r4/ab_lq144.log): the f32 round-to-nearest extraction sits
+#: on the VPU critical path, the saved bias-subtract does not. Pruned in
+#: round 5; _pack_profile rejects upk != "floor".
 PRODUCTION_UPK = "floor"
 
 
@@ -1508,10 +1465,8 @@ def choose_config(
     default ``None`` only pack=1 shapes are considered, so callers that
     haven't inspected their profile can never select a lossy config.
 
-    ``upk`` selects the packed-field extraction mode the caller will run
-    with (None = PRODUCTION_UPK): "round" gates against the wider
-    PACK_BOUNDS_ROUND table and the returned config carries the mode so
-    the pipeline passes it straight to the kernel.
+    ``upk`` must be "floor" (or None = PRODUCTION_UPK): the "round"
+    extraction mode was pruned in round 5 (see the PRODUCTION_UPK note).
 
     ``striped`` selects the striped-pass table (``_SHAPES_STRIPE``) —
     ``lq`` is then the stripe row count, and packed/fused stripe shapes
@@ -1519,7 +1474,11 @@ def choose_config(
     """
     if upk is None:
         upk = PRODUCTION_UPK
-    bounds = PACK_BOUNDS_ROUND if upk == "round" else PACK_BOUNDS
+    if upk != "floor":
+        raise ValueError(
+            f"upk={upk!r} was pruned (round 5): only 'floor' exists"
+        )
+    bounds = PACK_BOUNDS
     if nq > 1:
         shapes = _SHAPES_MQ
     elif striped:

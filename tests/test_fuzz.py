@@ -101,15 +101,15 @@ def test_fuzz_stream_kernel(trial):
     grain = max(grain, jb)
     pack = pack_streams(db, order, nw, win=1024, jb=jb, grain=grain)
     # S-production variants ride the same plumbing as the windows kernel;
-    # cover the packed/round path through the STREAM wrapper too (it has
-    # its own profile pad/pack staging and static-arg threading).
+    # cover the packed path through the STREAM wrapper too (it has its
+    # own profile pad/pack staging and static-arg threading).
     pipe, pk = [(0, 1), (6, 1), (6, 2), (6, 4)][int(rng.integers(0, 4))]
-    upk = str(rng.choice(["floor", "round"]))
+    rng.choice(["floor", "round"])  # consume: keeps prior seeds' draws
     out = np.asarray(
         sw_pallas_stream(
             profile, pack.streams, pack.fs, go, ge,
             nslots=len(pack.slot_ids), nw=nw, jb=jb,
-            ui=int(rng.choice([2, 4])), pipe=pipe, pack=pk, upk=upk,
+            ui=int(rng.choice([2, 4])), pipe=pipe, pack=pk,
             interpret=True,
         )
     )
@@ -130,9 +130,8 @@ def test_fuzz_packed_config_lattice(trial):
 
     Random scoring systems stay within |P - go| <= 24, inside every
     PACK_BOUNDS level, so all packed variants must be bit-exact. Covers
-    the fused-dot pipes (5/6), both unpack modes, multi-query row
-    stacking, and non-default dot heights through sw_pallas_windows in
-    interpret mode.
+    the fused-dot pipes (5/6), multi-query row stacking, and non-default
+    dot heights through sw_pallas_windows in interpret mode.
     """
     rng = np.random.default_rng(4000 + trial)
     table, go, ge, gap_open = random_system(rng)
@@ -157,13 +156,13 @@ def test_fuzz_packed_config_lattice(trial):
     pipe, pack = [(0, 1), (5, 1), (6, 1), (6, 2), (6, 4)][
         int(rng.integers(0, 5))
     ]
-    upk = str(rng.choice(["floor", "round"]))
+    rng.choice(["floor", "round"])  # consume: keeps prior seeds' draws
     ui = int(rng.choice([2, 4]))
     ic = None if rng.random() < 0.5 else int(rng.integers(1, 2 * lq + 2))
     got = np.asarray(
         sw_pallas_windows(
             profile, db[None], go, ge, nw=1, jb=jb, ui=ui, ic=ic,
-            pipe=pipe, pack=pack, upk=upk, interpret=True,
+            pipe=pipe, pack=pack, interpret=True,
         )
     )
     if nq == 1:
@@ -203,8 +202,7 @@ def test_fuzz_striped_packed(trial):
         sw_pallas_stream_striped(
             profile, pack_.streams, pack_.fs, go, ge,
             nslots=len(pack_.slot_ids), nw=1, jb=jb, ui=2,
-            stripe_rows=8, pipe=pipe, pack=pk,
-            upk=str(rng.choice(["floor", "round"])), interpret=True,
+            stripe_rows=8, pipe=pipe, pack=pk, interpret=True,
         )
     )
     scores = np.zeros(n, dtype=np.int32)

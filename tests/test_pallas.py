@@ -181,30 +181,19 @@ class TestPallasInterpret:
         )
         np.testing.assert_array_equal(got[:40], want[:40])
 
-    @pytest.mark.slow
-    def test_pipe_modes_match_wavefront(self, rng, blosum62):
-        """S-production pipelining (pipe=1/2) is bit-identical to pipe=0."""
+    def test_pruned_pipe_modes_rejected(self, rng, blosum62):
+        """pipe modes 1-4 and 7 were measured losers/no-ops and pruned
+        (round 5); the kernel rejects them loudly instead of silently
+        running something else. Negative results: docs/DESIGN.md."""
         sc = blosum62
-        q = sc.query_indices(random_protein(rng, 11))
-        prof = make_profile(sc.table, q)
-        seqs = [
-            encode(random_protein(rng, int(rng.integers(1, 10))))
-            for _ in range(50)
-        ]
+        prof = make_profile(sc.table, sc.query_indices("ACDEFGHK"))
         db = np.full((12, 1024), PAD_INDEX, dtype=np.int32)
-        for k, s in enumerate(seqs):
-            db[: len(s), k] = s
-        want = np.asarray(
-            sw_wavefront(prof, db, sc.gap_open_total, sc.gap_extend)
-        )
-        for pipe in (1, 2):
-            got = np.asarray(
+        for pipe in (1, 2, 3, 4, 7):
+            with pytest.raises(ValueError, match="pruned"):
                 sw_pallas_windows(
                     prof, db[None], sc.gap_open_total, sc.gap_extend,
                     nw=1, jb=4, ui=4, ic=4, pipe=pipe, interpret=True,
                 )
-            )
-            np.testing.assert_array_equal(got[:50], want[:50])
 
     @pytest.mark.slow
     def test_pipe_multiquery(self, rng, blosum62):
@@ -225,7 +214,7 @@ class TestPallasInterpret:
         got = np.asarray(
             sw_pallas_windows(
                 profs, db[None], sc.gap_open_total, sc.gap_extend,
-                nw=1, jb=4, ui=2, ic=2, pipe=1, interpret=True,
+                nw=1, jb=4, ui=2, ic=2, pipe=5, interpret=True,
             )
         )
         for k in range(nq):
@@ -298,25 +287,22 @@ class TestPallasInterpret:
             )
             np.testing.assert_array_equal(got[:50], want[:50])
 
-    def test_packed_round_unpack_matches_wavefront(self, rng, blosum62):
-        """upk="round" (signed fields, round-to-nearest extraction, no
-        bias subtraction) is bit-identical too — including the widened
-        pack=2 bound (|P'| <= 255 vs floor mode's 128)."""
+    def test_pruned_upk_round_rejected(self, rng):
+        """upk="round" lost the round-4 hardware A/B and was pruned
+        (round 5): the kernel and choose_config both reject it loudly."""
+        from seqalign_tpu.ops.swa_pallas import choose_config
+
         go, ge = -3, -1
-        lq = 12
+        prof = rng.integers(-20, 20, (12, 32)).astype(np.int32)
         db = np.full((1, 4, 1024), PAD_INDEX, dtype=np.int32)
-        db[0, :, :96] = rng.integers(1, 27, (4, 96))
-        for pack, lo, hi in ((2, -100, 120), (2, -258, 250), (4, -34, 29)):
-            prof = rng.integers(lo, hi, (lq, 32)).astype(np.int32)
-            want = np.asarray(sw_wavefront(prof, db[0], go, ge))
-            got = np.asarray(
-                sw_pallas_windows(
-                    prof, db, go, ge,
-                    nw=1, jb=4, ui=2, ic=12, pipe=6, pack=pack, upk="round",
-                    interpret=True,
-                )
+        with pytest.raises(ValueError, match="pruned"):
+            sw_pallas_windows(
+                prof, db, go, ge,
+                nw=1, jb=4, ui=2, ic=12, pipe=6, pack=4, upk="round",
+                interpret=True,
             )
-            np.testing.assert_array_equal(got[:96], want[:96])
+        with pytest.raises(ValueError, match="pruned"):
+            choose_config(144, max_abs_bias=18.0, upk="round")
 
     def test_single_parity_full_height_fast(self, rng):
         """nc==1 single-parity s_buf (_sbuf_scratch): multi-window
@@ -359,9 +345,8 @@ class TestPallasInterpret:
             (8, 6, 4),   # full height, nc=1: single parity (the fix)
             (8, 6, 2),
             (8, 5, 1),   # full height, per-window fused dots
-            (8, 1, 1),   # full height, unfused pipe
             (4, 6, 4),   # chunked, nc=2: double parity retained
-            (4, 1, 1),
+            (4, 5, 1),
         ):
             got = np.asarray(
                 sw_pallas_windows(
@@ -496,8 +481,7 @@ class TestPallasInterpret:
     @pytest.mark.slow
     @pytest.mark.parametrize(
         "pack,upk,bound",
-        [(2, "floor", 128), (4, "floor", 31), (2, "round", 255),
-         (4, "round", 31)],
+        [(2, "floor", 128), (4, "floor", 31)],
     )
     def test_packed_bound_boundary_exact(self, pack, upk, bound):
         """Packing is exact AT the advertised |P - go| bound, not just well
@@ -557,32 +541,22 @@ class TestPallasInterpret:
             if any_packed and any_packed.pack == 4:
                 assert cfgs["at"] == 4, (lq, cfgs)
 
-    def test_choose_config_upk_round_gate(self):
-        """upk="round" gates against PACK_BOUNDS_ROUND (wider pack=2
-        range) and the returned config carries the mode so the pipeline
-        passes it to the kernel unchanged."""
+    def test_choose_config_upk_floor_only(self):
+        """"floor" is the only extraction mode (round pruned, round 5):
+        explicit floor and the default both work; a bias above the pack=2
+        floor bound (128) refuses packed shapes."""
         from seqalign_tpu.ops.swa_pallas import (
-            PACK_BOUNDS, PACK_BOUNDS_ROUND, choose_config,
+            PACK_BOUNDS, PRODUCTION_UPK, choose_config,
         )
 
-        assert PACK_BOUNDS_ROUND[2] == 255.0 and PACK_BOUNDS[2] == 128.0
-        assert PACK_BOUNDS_ROUND[4] == PACK_BOUNDS[4] == 31.0
+        assert PRODUCTION_UPK == "floor" and PACK_BOUNDS[2] == 128.0
         for lq in (17, 144, 512):
-            for upk in ("floor", "round"):
-                cfg = choose_config(lq, max_abs_bias=18.0, upk=upk)
-                assert cfg is not None and cfg.upk == upk
-            # Default (upk=None) follows the production constant.
-            from seqalign_tpu.ops.swa_pallas import PRODUCTION_UPK
-
+            cfg = choose_config(lq, max_abs_bias=18.0, upk="floor")
+            assert cfg is not None and cfg.upk == "floor"
             dflt = choose_config(lq, max_abs_bias=18.0)
-            assert dflt.upk == PRODUCTION_UPK
-        # A bias legal only under round bounds at pack=2: floor mode must
-        # refuse pack=2 shapes, round mode may admit them (if a band ships
-        # a pack=2 shape); pack=4 is refused by BOTH (bound 31 either way).
+            assert dflt.upk == "floor"
         cfg_f = choose_config(144, max_abs_bias=200.0, upk="floor")
         assert cfg_f.pack == 1
-        cfg_r = choose_config(144, max_abs_bias=200.0, upk="round")
-        assert cfg_r.pack in (1, 2)  # never 4 at bias 200
 
     @pytest.mark.slow
     def test_striped_packed_production(self, rng, blosum62):

@@ -45,10 +45,10 @@ def main() -> int:
         "decisions need >=3 (run-to-run spread is ~±6%%, docs/DESIGN.md)",
     )
     parser.add_argument(
-        "--upk", default="floor", choices=("floor", "round"),
-        help="packed-field extraction scheme: floor (biased fields) or "
-        "round (signed fields, no bias subtraction - 3 fewer VPU ops "
-        "per pack=4 group)",
+        "--upk", default="floor", choices=("floor",),
+        help="packed-field extraction scheme: floor is the only mode — "
+        "the 'round' variant lost the round-4 hardware A/B and was "
+        "pruned in round 5 (swa_pallas.PRODUCTION_UPK note)",
     )
     parser.add_argument(
         "--const-s", action="store_true",

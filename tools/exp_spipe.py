@@ -1,11 +1,15 @@
 """Round-2 experiment: S-production pipelining (static-parity double buffer).
 
-Measures pipe modes 0/1/2 against the round-1 baseline at the shapes that
-matter (lq=144 headline, lq=17 short-query point, lq=512 deep-unroll), with
-exactness checks vs the wavefront engine. See docs/DESIGN.md "The S-path
-wall" for why: the serialized produce-then-consume phases leave the MXU
-result stream nothing to co-issue against; static parity (chunk index is a
+Measures surviving pipe modes (0/5/6) at the shapes that matter (lq=144
+headline, lq=17 short-query point, lq=512 deep-unroll), with exactness
+checks vs the wavefront engine. See docs/DESIGN.md "The S-path wall" for
+why: the serialized produce-then-consume phases leave the MXU result
+stream nothing to co-issue against; static parity (chunk index is a
 Python int) sidesteps the round-1 dynamic-index Mosaic crashes.
+
+History: this tool's round-2 runs measured modes 1-4 as no-ops/losers
+(logs committed; tables in docs/DESIGN.md); those modes were pruned from
+the kernel in round 5 and the kernel now rejects them.
 
 Usage: python tools/exp_spipe.py [--lq 144] [--lb 4096]
 """
@@ -24,7 +28,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--lq", type=int, nargs="*", default=[144, 17, 512])
     p.add_argument("--lb", type=int, default=4096)
-    p.add_argument("--pipe", type=int, nargs="*", default=[0, 1, 2])
+    p.add_argument("--pipe", type=int, nargs="*", default=[0, 5, 6],
+                   choices=[0, 5, 6])
     p.add_argument("--shapes", type=str, nargs="*", default=None,
                    help="nw,jb,ui[,icmul] tuples, e.g. 8,4,8 or 2,4,16,3")
     args = p.parse_args()

@@ -385,20 +385,9 @@ def check_paths(rng) -> int:
         print(f"striped+packed lq=700 pipe=6 pack=4: exact={ok}")
         fails += not ok
 
-    # 6) signed-field round unpacking (upk=round)
-    from seqalign_tpu.ops.swa_pallas import sw_pallas_windows as spw
-
-    dbw = rng.integers(1, 27, (2, 64, 1024)).astype(np.int32)
-    outr = np.asarray(
-        spw(prof, dbw, go, ge, nw=2, jb=4, ui=16, ic=144, pipe=6,
-            pack=4, upk="round")
-    )
-    wantr = np.concatenate(
-        [np.asarray(sw_wavefront(prof, dbw[w], go, ge)) for w in range(2)]
-    )
-    ok = bool((outr == wantr).all())
-    print(f"upk=round lq=144 pack=4: exact={ok}")
-    fails += not ok
+    # (a former step 6 validated upk="round" signed-field unpacking; the
+    # mode was pruned in round 5 after losing the hardware A/B —
+    # docs/hw_r4/ab_lq144.log, PRODUCTION_UPK note.)
     return fails
 
 
