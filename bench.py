@@ -37,11 +37,24 @@ Cost structure (the round-2 lesson — BENCH_r02 timed out at rc=124):
 loading a freshly compiled program onto the TPU through the axon tunnel
 costs 68 s-19 min *per program* (pipeline.py _EXEC_CACHE notes), so this
 harness (a) enables the persistent XLA compile cache before touching jax,
-(b) builds exactly TWO jitted programs total — dynamic-rep chains replace
-the old chain(1)/chain(3) pairs, and the short-query + multi-query points
-share one program parameterized by a dynamic query count — and (c) runs
+(b) builds exactly THREE jitted programs — the main dynamic-rep chain
+(dynamic rep counts replace the old chain(1)/chain(3) pairs), plus one
+small program each for the optional short-query and multi-query points,
+each gated separately on the remaining watchdog budget — and (c) runs
 under an in-process watchdog that prints the best-available result line
 and exits before the driver's timeout can strike.
+
+Never-empty discipline (the round-4 lesson — BENCH_r04 was rc=3 with
+NOTHING emitted because a 757 s degraded-tunnel program load burned the
+whole budget before the first stash): a parseable provenance line (value
+null, detail.last_measured = the best builder-run numbers) is stashed
+the moment the backend probe succeeds, BEFORE any packing, compile, or
+load, and is re-stashed with the current stage at every milestone; every
+stage prints a timestamped progress line so a timeout is diagnosable
+from the stderr tail. Once the program is loaded, the headline is the
+median of 3 interleaved two-point measurements (drift insurance — ±20%
+session drift measured round 4; reps cost ~0.14 s each, the load
+dominates).
 """
 
 from __future__ import annotations
@@ -90,23 +103,25 @@ _BUDGET_S = float(os.environ.get("SEQALIGN_BENCH_BUDGET_S", "780"))
 _REHEARSE = "--rehearse" in sys.argv[1:]
 
 # Best builder-measured numbers to date, carried as provenance when an
-# outage nulls the official line (round-3 VERDICT item 1 fallback): the
-# scoreboard then shows where the last real measurement lives instead of a
-# bare null.
+# outage or slow load nulls the official line (round-3/4 VERDICT item 1):
+# the scoreboard then shows where the last real measurement lives instead
+# of a bare null.
 _LAST_MEASURED = {
-    "round": 3,
-    "value": 232.4,
+    "round": 4,
+    "value": 255.8,
     "unit": "GCUPS",
-    "tool": "tools/exp_pack.py (builder-run, lq=144 pack=4 full-height)",
-    "end_to_end_value": 202.6,
-    "end_to_end_tool": "bench.py (builder-run, round 2; docs/DESIGN.md "
-    "'End-to-end')",
+    "tool": "tools/ab_check.py interleaved drift-immune A/B median, "
+    "lq=144 (4,8,16) pipe=6 pack=4 (builder-run; docs/hw_r4/ab_lq144.log)",
+    "end_to_end_value": 216.6,
+    "end_to_end_tool": "bench.py official-format capture (builder-run, "
+    "round 4, 2026-08-18 12:35 UTC; docs/hw_r4/step1_official_capture.log)",
 }
 # RLock: the SIGTERM handler runs _emit_best_and_exit on the MAIN thread;
 # a plain Lock would deadlock if the signal lands inside a _stash().
 _EMIT_LOCK = threading.RLock()
 _BEST_LINE: list[str] = []  # best-available JSON line so far (len<=1)
 _DONE = threading.Event()
+_HAVE_MEASURED = False  # once True, provenance stashes never clobber
 
 
 def _stash(line: str) -> None:
@@ -115,6 +130,49 @@ def _stash(line: str) -> None:
             _BEST_LINE[0] = line
         else:
             _BEST_LINE.append(line)
+
+
+def _stash_measured(line: str) -> None:
+    """Stash a line carrying a real measurement (non-null value)."""
+    global _HAVE_MEASURED
+    with _EMIT_LOCK:
+        _HAVE_MEASURED = True
+        _stash(line)
+
+
+def _progress(msg: str) -> None:
+    """Timestamped stage line on stderr — a watchdog/timeout postmortem
+    must be readable from the tail (round-4 lesson: rc=3 with zero
+    progress output between the backend probe and the first stash)."""
+    print(f"bench[+{time.time() - _T0:.0f}s]: {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _stash_provenance(stage: str) -> None:
+    """Parseable null-value line carrying the last real measurements and
+    the current stage. Stashed the moment the backend is up and re-stashed
+    at every milestone, so the watchdog can NEVER fire with nothing banked
+    (round-4 failure mode: a 757 s program load > the whole 780 s budget,
+    rc=3, parsed=null)."""
+    with _EMIT_LOCK:
+        if _HAVE_MEASURED:
+            return
+        _stash(json.dumps({
+            "metric": "swissprot_scale_search_gcups",
+            "value": None,
+            "unit": "GCUPS",
+            "vs_baseline": None,
+            "detail": {
+                "provisional": (
+                    "harness did not reach a measurement before the "
+                    f"budget expired; last completed stage: {stage}"
+                ),
+                "stage": stage,
+                "elapsed_s": round(time.time() - _T0, 1),
+                "last_measured": _LAST_MEASURED,
+            },
+        }))
+    _progress(f"stage: {stage}")
 
 
 def _emit_best_and_exit(code_if_empty: int) -> None:
@@ -166,8 +224,6 @@ def main() -> None:
     from seqalign_tpu.pipeline import _enable_compile_cache
 
     _enable_compile_cache()
-
-    import functools
 
     import jax
     import jax.numpy as jnp
@@ -238,6 +294,10 @@ def main() -> None:
             )
             time.sleep(45)
 
+    # FIRST stash happens here — before any packing/compile/load work —
+    # so from this point on a watchdog fire always emits a parsed line.
+    _stash_provenance("backend up; generating synthetic database")
+
     from seqalign_tpu.models import ScoringModel, load_builtin
     from seqalign_tpu.models.alphabet import encode
     from seqalign_tpu.ops.swa_xla import make_profile
@@ -276,7 +336,9 @@ def main() -> None:
 
         order_scores, dt = search_database(query, db, sc, engine="wavefront")
         gcups = real_cells / dt / 1e9
-        _stash(_result_line(gcups, dt, n, real_cells, backend, real_cells))
+        _stash_measured(
+            _result_line(gcups, dt, n, real_cells, backend, real_cells)
+        )
         _DONE.set()
         _emit_best_and_exit(code_if_empty=4)
 
@@ -299,6 +361,9 @@ def main() -> None:
         """
         packs = []
         padded_cells = 0
+        _stash_provenance(
+            f"packing {n} entries (allow_pack={allow_pack})"
+        )
         for start in range(0, n, chunk_slots * 1024):
             chunk = order[start : start + chunk_slots * 1024]
             nslots = -(-len(chunk) // 1024)
@@ -324,6 +389,7 @@ def main() -> None:
                 )
             )
         jax.block_until_ready([prof_dev] + [p[0] for p in packs])
+        _stash_provenance("database packed + uploaded; building program")
 
         # ONE program: dynamic rep count (fori_loop with a traced bound
         # lowers to a while loop — same executable serves reps=1 and 3).
@@ -340,9 +406,15 @@ def main() -> None:
 
             return jax.lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int32))
 
+        _stash_provenance(
+            "main program compile/load in progress (loads measured "
+            "68 s-19 min through a degraded tunnel)"
+        )
         t_load0 = time.time()
         np.asarray(chain(1))  # compile (persistent-cached) + load + warm
-        return chain, padded_cells, time.time() - t_load0
+        load_s = time.time() - t_load0
+        _progress(f"main program loaded + warmed in {load_s:.0f}s")
+        return chain, padded_cells, load_s
 
     try:
         chain, padded_cells, program_load_s = build_and_warm(True)
@@ -362,75 +434,104 @@ def main() -> None:
     # Provisional result the watchdog can fall back on: single fetched run,
     # RTT included, so it is an honest lower bound on the kernel rate.
     t_single = run(1)
-    _stash(
+    _stash_measured(
         _result_line(
             real_cells / t_single / 1e9, t_single, n, real_cells, backend,
             padded_cells, provisional="single-run wall time, tunnel RTT "
             "included (watchdog fallback; not the two-point kernel time)",
         )
     )
+    _progress(f"single-run fallback banked ({t_single:.2f}s wall)")
 
-    t1 = min(t_single, min(run(1) for _ in range(2)))
-    t3 = min(run(3) for _ in range(3))
-    dt = (t3 - t1) / 2
-    if dt <= 0:
+    # Headline: MEDIAN of 3 interleaved two-point measurements. Round 4
+    # measured ±20% rate drift within one hardware session, so a single
+    # two-point pair is fragile; reps cost ~0.14 s each next to the
+    # multi-minute program load, so the insurance is nearly free.
+    dts = []
+    for _ in range(3):
+        t1 = min(run(1) for _ in range(2))
+        t3 = min(run(3) for _ in range(2))
+        d = (t3 - t1) / 2
+        if d > 0:
+            dts.append(d)
+    provisional_note = None
+    if dts:
+        dt = float(np.median(dts))
+    else:
         # Timer noise swallowed the work (possible at rehearsal shapes):
         # fall back to the single-run wall time — an honest lower bound —
-        # instead of fabricating a rate from a floored dt.
+        # and SAY SO instead of passing noise off as a kernel time.
         dt = t_single
+        provisional_note = (
+            "all two-point diffs non-positive (work inside timer/RTT "
+            "noise); value is single-run wall time incl. tunnel RTT — an "
+            "honest lower bound, not a kernel rate"
+        )
 
     gcups = real_cells / dt / 1e9
-    _stash(
+    _stash_measured(
         _result_line(
             gcups, dt, n, real_cells, backend, padded_cells,
-            program_load_s=program_load_s,
+            program_load_s=program_load_s, provisional=provisional_note,
+            n_two_point=len(dts),
         )
+    )
+    _progress(
+        f"headline banked: {gcups:.1f} GCUPS (median of {len(dts)} "
+        "two-point measurements)"
     )
 
     # Optional points: a 17-residue query (the reference's inferred
     # benchmark regime, BASELINE.md) and 8 batched 17-residue queries (the
-    # CLI default for multi-record query files), sharing ONE jitted
-    # program. Only attempted if the remaining watchdog budget can absorb
-    # another program load (estimated from the main point's, floor 90 s).
+    # CLI default for multi-record query files). Each is its OWN jitted
+    # program (the mq point runs the adopted row-stacked production path,
+    # a different kernel shape), attempted only while the remaining
+    # watchdog budget can absorb another small program load (measured
+    # 14-30 s vs ~340 s for the main program; floor 90 s). They share one
+    # packed-stream upload whenever their configs agree on (nw, jb).
     short = mq = None
-    skip_reason = None
-    # The optional-point programs are tiny next to the main one (loads
-    # measured 14-30 s vs ~340 s); and the stash-then-emit discipline
-    # means ATTEMPTING them can never lose the main line — the watchdog
-    # emits the last stashed result either way. So gate only on having
-    # enough time to plausibly finish a small load, not on 2.5x the main
-    # program's (which skipped the points whenever the tunnel was slow).
+    skip_reasons: list[str] = []  # accumulate — a late failure must not
+    # overwrite an earlier point's diagnostic
     est_next_load = 90.0
     if _REHEARSE:
         est_next_load = 0.0  # rehearsal must exercise ALL programs
+    pack_cache: dict = {}  # (nw, jb) -> uploaded streams, shared by points
     if _remaining() > est_next_load:
+        _progress("optional short-query point: packing/compiling")
         try:
-            short = _short_point(jax, jnp, functools, db, sc, aa20, rng)
+            short = _short_point(jax, jnp, db, sc, aa20, rng, pack_cache)
         except Exception as ex:  # never let optional points kill the line
-            skip_reason = f"short: {type(ex).__name__}: {str(ex)[:160]}"
+            skip_reasons.append(
+                f"short: {type(ex).__name__}: {str(ex)[:160]}"
+            )
         # The stacked multi-query point is its own program (row-stacked
         # production, choose_config(nq=8)); gate it on budget separately
         # so a slow short-point load can only cost us the mq point.
         if _remaining() > est_next_load:
+            _progress("optional multi-query point: packing/compiling")
             try:
-                mq = _mq_point(jax, jnp, functools, db, sc, aa20, rng)
+                mq = _mq_point(jax, jnp, db, sc, aa20, rng, pack_cache)
             except Exception as ex:
-                skip_reason = f"mq: {type(ex).__name__}: {str(ex)[:160]}"
+                skip_reasons.append(
+                    f"mq: {type(ex).__name__}: {str(ex)[:160]}"
+                )
         else:
-            skip_reason = (
+            skip_reasons.append(
                 f"mq skipped: {_remaining():.0f}s left < "
                 f"{est_next_load:.0f}s estimated program-load cost"
             )
     else:
-        skip_reason = (
+        skip_reasons.append(
             f"skipped: {_remaining():.0f}s left < {est_next_load:.0f}s "
             "estimated program-load cost"
         )
-    _stash(
+    _stash_measured(
         _result_line(
             gcups, dt, n, real_cells, backend, padded_cells,
-            short=short, mq=mq, skip_reason=skip_reason,
-            program_load_s=program_load_s,
+            short=short, mq=mq,
+            skip_reason="; ".join(skip_reasons) or None,
+            program_load_s=program_load_s, provisional=provisional_note,
+            n_two_point=len(dts),
         )
     )
     _DONE.set()
@@ -459,24 +560,38 @@ def _two_point_dt(run, *args):
     return dt if dt > 0 else None
 
 
-def _short_point(jax, jnp, functools, db, sc, aa20, rng):
+def _pack_cached(jax, db, cfg, cache):
+    """Pack + upload the database streams for a config's (nw, jb)
+    geometry, reusing a previous upload when the geometry matches — the
+    short and multi-query points usually agree, and re-packing 565k
+    entries doubles CPU + transfer cost inside the watchdog budget."""
+    key = (cfg.nw, cfg.jb)
+    if key not in cache:
+        from seqalign_tpu.utils.packing import pack_streams
+
+        pack = pack_streams(
+            db, np.arange(db.n), cfg.nw, win=1024, jb=cfg.jb, grain=16
+        )
+        sd = jax.device_put(pack.streams)
+        fd = jax.device_put(pack.fs)
+        jax.block_until_ready([sd, fd])
+        cache[key] = (pack, sd, fd)
+    return cache[key]
+
+
+def _short_point(jax, jnp, db, sc, aa20, rng, pack_cache):
     """17-residue single-query point: the reference's inferred benchmark
     regime (BASELINE.md). Production config + pack; the profile is
     perturbed per chained rep so no dispatch is loop-invariant."""
     from seqalign_tpu.ops.swa_pallas import choose_config, sw_pallas_stream
-    from seqalign_tpu.utils.packing import pack_streams
 
     lq = 17
     profs, pmax = _mk_profiles(rng, sc, aa20, 1, lq)
     go, ge = sc.gap_open_total, sc.gap_extend
     cfg = choose_config(lq, reserve=(1 << 20), max_abs_bias=pmax)
-    pack = pack_streams(
-        db, np.arange(db.n), cfg.nw, win=1024, jb=cfg.jb, grain=16
-    )
-    sd = jax.device_put(pack.streams)
-    fd = jax.device_put(pack.fs)
+    pack, sd, fd = _pack_cached(jax, db, cfg, pack_cache)
     pd = jax.device_put(profs[0])
-    jax.block_until_ready([sd, fd, pd])
+    jax.block_until_ready([pd])
     kw = dict(
         nslots=len(pack.slot_ids), nw=cfg.nw, jb=cfg.jb, ui=cfg.ui,
         ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack, upk=cfg.upk,
@@ -513,26 +628,21 @@ def _short_point(jax, jnp, functools, db, sc, aa20, rng):
     }
 
 
-def _mq_point(jax, jnp, functools, db, sc, aa20, rng):
+def _mq_point(jax, jnp, db, sc, aa20, rng, pack_cache):
     """8x17-residue multi-query aggregate via the ADOPTED row-stacked
     production path (round 4, docs/hw_r4/ab_mq17.log): the whole query
     block is one full-height fused dot per dispatch —
     choose_config(nq=8) + a single stacked sw_pallas_stream call, exactly
     as the pipeline's --all-queries dispatch runs it."""
     from seqalign_tpu.ops.swa_pallas import choose_config, sw_pallas_stream
-    from seqalign_tpu.utils.packing import pack_streams
 
     nq, lq = 8, 17
     profs, pmax = _mk_profiles(rng, sc, aa20, nq, lq)
     go, ge = sc.gap_open_total, sc.gap_extend
     cfg = choose_config(lq, reserve=(1 << 20), nq=nq, max_abs_bias=pmax)
-    pack = pack_streams(
-        db, np.arange(db.n), cfg.nw, win=1024, jb=cfg.jb, grain=16
-    )
-    sd = jax.device_put(pack.streams)
-    fd = jax.device_put(pack.fs)
+    pack, sd, fd = _pack_cached(jax, db, cfg, pack_cache)
     pd = jax.device_put(profs)
-    jax.block_until_ready([sd, fd, pd])
+    jax.block_until_ready([pd])
     kw = dict(
         nslots=len(pack.slot_ids), nw=cfg.nw, jb=cfg.jb, ui=cfg.ui,
         ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack, upk=cfg.upk,
@@ -574,7 +684,7 @@ def _mq_point(jax, jnp, functools, db, sc, aa20, rng):
 def _result_line(
     gcups, dt, n, real_cells, backend, padded_cells,
     short=None, mq=None, provisional=None, skip_reason=None,
-    program_load_s=None,
+    program_load_s=None, n_two_point=None,
 ) -> str:
     entries_per_s = n / dt
     detail = {
@@ -610,6 +720,8 @@ def _result_line(
         detail["optional_points_skipped"] = skip_reason
     if program_load_s is not None:
         detail["program_load_s_untimed"] = round(program_load_s, 1)
+    if n_two_point is not None:
+        detail["two_point_measurements_in_median"] = n_two_point
     # 1-decimal rounding is right at TPU scale but collapses tiny CPU
     # smoke-run rates to 0.0; keep 4 significant-ish decimals when small.
     prec = 1 if gcups >= 10 else 4
