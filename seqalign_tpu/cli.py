@@ -181,6 +181,14 @@ def main(argv: list[str] | None = None) -> int:
                 return _usage_exit(
                     prog, scoring, f"Unknown argument without parameter: {a}"
                 )
+            elif al == "--scoring":
+                # Vestigial flag: the reference swallows --scoring plus its
+                # argument with no effect (alignment_cmdline.c:226-228, the
+                # "This handled above" branch — nothing handles it above);
+                # as the last argument it still hits the generic
+                # "Unknown argument without parameter" path, matched here
+                # by the i == n - 1 check preceding this branch.
+                i += 1
             elif al == "--substitution_matrix":
                 matrix_spec = args[i + 1]
                 substitutions_set = True

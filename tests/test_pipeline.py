@@ -290,6 +290,20 @@ class TestCli:
         )
         assert code == 1 and "Match value" in err
 
+    def test_scoring_flag_vestigial(self, fasta_pair, tmp_path):
+        # --scoring <x> is silently swallowed with its argument, like the
+        # reference (alignment_cmdline.c:226-228); as the LAST argument it
+        # hits "Unknown argument without parameter" instead.
+        qp, dp = fasta_pair
+        code, out, _ = run_cli(
+            ["--scoring", "whatever", "--files", qp, dp,
+             "--engine", "wavefront", "--lanes", "8"],
+            tmp_path,
+        )
+        assert code == 0 and "Total Entries: 10" in out
+        code, _, err = run_cli(["--stdin", "--scoring"], tmp_path)
+        assert code == 1 and "Unknown argument without parameter" in err
+
     def test_match_ge_mismatch_ok_with_matrix(self, fasta_pair, tmp_path):
         # With a matrix loaded and no --match, the match/mismatch check is
         # bypassed (use_match_mismatch = 0), like the reference.
