@@ -64,6 +64,10 @@ RE_LONGPAIR = re.compile(
     r"^longpair lq=(\d+):\s+(-?[\d.]+) GCUPS wall \((.+)\)$"
 )
 RE_STRIPED_VERIFY = re.compile(r"^striped verify lq=(\d+): exact=(\w+)$")
+RE_AB_WINNER = re.compile(
+    r"^WINNER v(\d+): (KernelConfig\(.*?\))(?: sr=(\d+))?\s+"
+    r"([\d.]+) GCUPS \(([\d.]+)x vs v0\)$"
+)
 RE_EXACT_ANY = re.compile(r"exact=(True|False)")
 
 SPREAD_FLOOR = 6.0  # % — docs/DESIGN.md measured run-to-run spread
@@ -163,6 +167,9 @@ class LogModel:
         self.longpair: list[tuple[str, int, float, str]] = []
         self.mq64: tuple | None = None
         self.striped_verify: list[tuple[int, str]] = []
+        # interleaved A/B winner lines (longpair_check --ab / ab_check):
+        # (step_desc, cfg_text, stripe_rows|None, gcups, ratio_vs_v0)
+        self.ab_winners: list[tuple[str, str, int | None, float, float]] = []
         self.critical: list[str] = []
         self.fails: list[str] = []
         self.steps: list[tuple[str, str, int | None]] = []
@@ -251,6 +258,14 @@ def parse(paths: list[str]) -> LogModel:
                     m.longpair.append((step_desc, int(lp.group(1)),
                                        float(lp.group(2)), lp.group(3)))
                     continue
+                ab = RE_AB_WINNER.match(line)
+                if ab:
+                    m.ab_winners.append((
+                        step_desc, ab.group(2),
+                        int(ab.group(3)) if ab.group(3) else None,
+                        float(ab.group(4)), float(ab.group(5)),
+                    ))
+                    continue
                 sv = RE_STRIPED_VERIFY.match(line)
                 if sv:
                     m.striped_verify.append((int(sv.group(1)),
@@ -298,6 +313,10 @@ def _score_line(e: Entry, mark: str) -> str:
 def report(m: LogModel) -> int:
     out = []
     rc = 0
+    # Concrete one-line table edits backing every ADOPT above threshold —
+    # printed as a READY EDITS block at the end so a queue run can never
+    # strand a measured adoption in prose (VERDICT round-4 item 6).
+    edits: list[str] = []
 
     if m.critical:
         rc = 1
@@ -397,6 +416,9 @@ def report(m: LogModel) -> int:
                 f"{(winner.score / prod_e.score - 1) * 100:.1f}% over "
                 f"production, {winner.eff_reps} reps, margin "
                 f"{margin:.1f}%")
+            edits.append(f"{table_for(lq)}: prepend {tup},  # lq={lq} "
+                         f"{winner.score:.1f} GCUPS, "
+                         f"{winner.eff_reps} reps")
             if winner.cfg["upk"] != "floor":
                 out.append("     (winner ran upk="
                            f"{winner.cfg['upk']!r}: flip PRODUCTION_UPK "
@@ -468,6 +490,11 @@ def report(m: LogModel) -> int:
                     f"({d:+.1f}%) {best.cfg_text}"
                     + (f" -> ADOPT {shape_tuple(best.cfg, lq, band.nq)}"
                        f" into _SHAPES_MQ" if win else ""))
+                if win:
+                    edits.append(
+                        f"_SHAPES_MQ: prepend "
+                        f"{shape_tuple(best.cfg, lq, band.nq)},  # "
+                        f"nq={band.nq} lq={lq} {best.score:.1f} GCUPS")
             else:
                 out.append(f"  lq={lq} (nq={band.nq}): stacked best "
                            f"{best.score:.1f} GCUPS {best.cfg_text} — "
@@ -525,6 +552,30 @@ def report(m: LogModel) -> int:
                    "point).")
         out.append("")
 
+    # --- interleaved A/B winners (longpair_check --ab / ab_check) ---
+    if m.ab_winners:
+        out.append("== interleaved A/B winners ==")
+        for desc, cfg_text, sr, g, ratio in m.ab_winners:
+            out.append(f"  [{desc[:58]}] {cfg_text}"
+                       + (f" sr={sr}" if sr else "")
+                       + f": {g:.1f} GCUPS, {ratio:.3f}x vs v0")
+            cfg = parse_cfg(cfg_text)
+            if cfg is None or ratio <= 1 + SPREAD_FLOOR / 100:
+                continue
+            if sr:  # striped A/B: the table entry keys on stripe rows
+                lat = cfg["ui"] * cfg["pack"] // math.gcd(
+                    cfg["ui"], cfg["pack"])
+                full_ic = cfg["ic"] >= -(-sr // lat) * lat
+                tup = (cfg["nw"], cfg["jb"], cfg["ui"], cfg["pipe"],
+                       full_ic) + (
+                    (cfg["pack"],) if cfg["pack"] > 1 else ())
+                edits.append(f"_SHAPES_STRIPE: prepend {tup},  # sr={sr}"
+                             f" {g:.1f} GCUPS, {ratio:.3f}x vs v0")
+            else:
+                out.append("    (flat A/B: pair with its band's lq to "
+                           "place the edit — see the band section)")
+        out.append("")
+
     if m.fails:
         out.append("== compile/timing failures and VMEM skips ==")
         out += [f"  {f}" for f in m.fails]
@@ -535,8 +586,26 @@ def report(m: LogModel) -> int:
         for sid, desc, code in m.steps:
             mark = "ok" if code == 0 else f"rc={code}"
             out.append(f"  [{sid}] {mark}  {desc[:70]}")
+        out.append("")
 
-    print("\n".join(out) if out else "nothing recognized in the log")
+    # --- READY EDITS: the adoption can never strand in prose ---
+    if not out and not edits:
+        print("nothing recognized in the log")
+        return rc
+    out.append("== READY EDITS (seqalign_tpu/ops/swa_pallas.py) ==")
+    if m.critical:
+        out.append("  BLOCKED by the CRITICAL failures above — resolve "
+                    "first.")
+    if edits:
+        out += [f"  {e}" for e in edits]
+        out.append("  apply, then re-verify on hardware: "
+                   "tools/tpu_check.py --paths (+ longpair_check for "
+                   "stripe edits)")
+    else:
+        out.append("  (none — every measured winner is already the "
+                   "production selection or inside the spread band)")
+
+    print("\n".join(out))
     return rc
 
 

@@ -290,9 +290,18 @@ def _ab(args, jax, rng, KernelConfig, choose_config, config_fits_vmem,
         meds.append(med)
         print(f"v{i} {tag}: exact={ok}  median {med:6.1f} GCUPS wall "
               f"(spread {spread:.1f}%)", flush=True)
-    best = int(np.argmax(meds))
-    print(f"WINNER v{best}: {built[best][0]}  {meds[best]:.1f} GCUPS "
-          f"({meds[best] / meds[0]:.3f}x vs v0)", flush=True)
+    # Winner selection only considers variants that passed the exactness
+    # check — a fast-but-wrong config must never be printed as WINNER
+    # (it would invite adopting a config that produces wrong scores).
+    eligible = [i for i, (_, _, ok, _) in enumerate(built) if ok]
+    if eligible:
+        best = max(eligible, key=lambda i: meds[i])
+        print(f"WINNER v{best}: {built[best][0]}  {meds[best]:.1f} GCUPS "
+              f"({meds[best] / meds[0]:.3f}x vs v0)", flush=True)
+    else:
+        print("WINNER: none — every variant FAILED the exactness check; "
+              "timings above are for diagnosis only", flush=True)
+        return 1
     return 0
 
 
