@@ -107,14 +107,16 @@ _REHEARSE = "--rehearse" in sys.argv[1:]
 # the scoreboard then shows where the last real measurement lives instead
 # of a bare null.
 _LAST_MEASURED = {
-    "round": 4,
+    "round": 5,
     "value": 255.8,
     "unit": "GCUPS",
     "tool": "tools/ab_check.py interleaved drift-immune A/B median, "
-    "lq=144 (4,8,16) pipe=6 pack=4 (builder-run; docs/hw_r4/ab_lq144.log)",
-    "end_to_end_value": 216.6,
+    "lq=144 (4,8,16) pipe=6 pack=4 (builder-run; docs/hw_r4/ab_lq144.log; "
+    "re-confirmed round 5 at 256.4 median, docs/hw_r5/ab_lq144.log)",
+    "end_to_end_value": 244.1,
     "end_to_end_tool": "bench.py official-format capture (builder-run, "
-    "round 4, 2026-08-18 12:35 UTC; docs/hw_r4/step1_official_capture.log)",
+    "round 5, 2026-08-19 05:14 UTC, median of 3 two-point measurements; "
+    "docs/hw_r5/official1.log)",
 }
 # RLock: the SIGTERM handler runs _emit_best_and_exit on the MAIN thread;
 # a plain Lock would deadlock if the signal lands inside a _stash().

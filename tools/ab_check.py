@@ -205,15 +205,32 @@ def main() -> int:
     tag = f" nq={nq}" if nq > 1 else ""
     print(f"\n=== lq={lq}{tag} lb={lb} interleaved medians "
           f"({args.rounds} rounds) ===")
+    # Physical-sanity filter: a degraded tunnel occasionally collapses the
+    # two-point diff to ~0, yielding absurd per-round values (measured:
+    # 1.2e9 GCUPS in docs/hw_r5/ab_lq144.log round 1) that poison the
+    # printed spread. Anything past 1.5x the self-measured 469-GCUPS
+    # const-S ALU ceiling (docs/DESIGN.md "The S-path wall") is a timer
+    # artifact, not a kernel speed; drop it from the median and say so.
+    cap = 469.0 * 1.5
     meds = []
     for i, (cfg, _, ok) in enumerate(built):
-        gs = sorted(samples[i])
-        med = float(np.median(gs))
+        gs = sorted(g for g in samples[i] if g <= cap)
+        dropped = args.rounds - len(gs)
+        med = float(np.median(gs)) if gs else 0.0
         spread = (gs[-1] - gs[0]) / med * 100 if med else 0.0
-        meds.append(med)
+        note = f", {dropped} non-physical sample(s) dropped" if dropped else ""
         print(f"v{i} {cfg}: exact={ok}  median {med:6.1f} GCUPS "
-              f"(spread {spread:.1f}%)", flush=True)
-    best = int(np.argmax(meds))
+              f"(spread {spread:.1f}%{note})", flush=True)
+        meds.append(med)
+    # Winner selection only over variants that passed the exactness check
+    # AND kept at least one physical sample — a fast-but-wrong or
+    # unmeasurable config must never print as WINNER.
+    eligible = [i for i, (_, _, ok) in enumerate(built) if ok and meds[i] > 0]
+    if not eligible:
+        print("WINNER: none — no exact variant produced a physical "
+              "measurement; values above are for diagnosis only", flush=True)
+        return 1
+    best = max(eligible, key=lambda i: meds[i])
     print(f"WINNER v{best}: {built[best][0]}  {meds[best]:.1f} GCUPS "
           f"({meds[best] / meds[0]:.3f}x vs v0)", flush=True)
     return 0
