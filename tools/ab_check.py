@@ -54,6 +54,13 @@ def main() -> int:
                         help="nw,jb,ui,ic,pipe,pack[,upk] (repeatable)")
     parser.add_argument("--include-production", action="store_true",
                         help="prepend choose_config's shape for --lq")
+    parser.add_argument("--const-s", action="store_true",
+                        help="roofline isolation: constant S, no "
+                        "substitution production — scores are meaningless "
+                        "(exactness check skipped), timing measures the "
+                        "pure DP-loop ceiling with drift-immune "
+                        "interleaving (the per-band denominator exp_pack "
+                        "--const-s measures without drift immunity)")
     args = parser.parse_args()
 
     from seqalign_tpu.pipeline import _enable_compile_cache
@@ -124,6 +131,8 @@ def main() -> int:
         kw = dict(nw=nw, jb=jb, ui=ui, ic=ic, pipe=pipe, pack=pack)
         if pack > 1:
             kw["upk"] = upk
+        if args.const_s:
+            kw["const_s"] = True
 
         out_shape = ((nq, nw * 8 * 128) if nq > 1
                      else (nw * 8 * 128,))
@@ -155,6 +164,11 @@ def main() -> int:
             print(f"{cfg}: COMPILE FAIL {str(ex)[:90]}", flush=True)
             continue
         load_s = time.time() - t0
+        if args.const_s:
+            print(f"{cfg}: exact=skipped (const-S roofline)  "
+                  f"(load {load_s:.0f}s)", flush=True)
+            built.append((cfg, chain, True))
+            continue
         with jax.default_device(cpu):
             if nq > 1:
                 want = np.stack([
@@ -211,7 +225,9 @@ def main() -> int:
     # printed spread. Anything past 1.5x the self-measured 469-GCUPS
     # const-S ALU ceiling (docs/DESIGN.md "The S-path wall") is a timer
     # artifact, not a kernel speed; drop it from the median and say so.
-    cap = 469.0 * 1.5
+    # (const-S chains legitimately exceed the full-kernel ceiling — the
+    # 469 anchor IS a const-S number at one shape — so give them 3x.)
+    cap = 469.0 * (3.0 if args.const_s else 1.5)
     meds = []
     for i, (cfg, _, ok) in enumerate(built):
         gs = sorted(g for g in samples[i] if g <= cap)
