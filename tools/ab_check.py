@@ -54,6 +54,11 @@ def main() -> int:
                         help="nw,jb,ui,ic,pipe,pack[,upk] (repeatable)")
     parser.add_argument("--include-production", action="store_true",
                         help="prepend choose_config's shape for --lq")
+    parser.add_argument("--sl", type=int, default=8,
+                        help="sublanes per window (lanes = sl*128; "
+                        "production is 8). VMEM feasibility is checked "
+                        "via an nw*(sl/8) proxy config — every term in "
+                        "_vmem_ic_budget scales linearly in nw*sl")
     parser.add_argument("--const-s", action="store_true",
                         help="roofline isolation: constant S, no "
                         "substitution production — scores are meaningless "
@@ -122,30 +127,38 @@ def main() -> int:
         nw, jb, ui, ic, pipe, pack, upk = v
         cfg = KernelConfig(nw=nw, jb=jb, ui=ui, ic=ic, pipe=pipe,
                            pack=pack, upk=upk)
-        if not config_fits_vmem(lq, cfg, nq=nq):
+        import dataclasses
+        proxy = (dataclasses.replace(cfg, nw=nw * (args.sl // 8))
+                 if args.sl != 8 else cfg)
+        if not config_fits_vmem(lq, proxy, nq=nq):
             print(f"{cfg}: SKIP (exceeds VMEM budget)", flush=True)
             continue
-        dbh = rng.integers(1, 27, (nw, lb, 1024)).astype(np.int32)
+        lanes = args.sl * 128
+        dbh = rng.integers(1, 27, (nw, lb, lanes)).astype(np.int32)
         dj = jax.device_put(dbh)
         jax.block_until_ready([dj, pj])
-        kw = dict(nw=nw, jb=jb, ui=ui, ic=ic, pipe=pipe, pack=pack)
+        kw = dict(nw=nw, jb=jb, ui=ui, ic=ic, pipe=pipe, pack=pack,
+                  sl=args.sl)
         if pack > 1:
             kw["upk"] = upk
         if args.const_s:
             kw["const_s"] = True
 
-        out_shape = ((nq, nw * 8 * 128) if nq > 1
-                     else (nw * 8 * 128,))
+        out_shape = ((nq, nw * lanes) if nq > 1
+                     else (nw * lanes,))
 
         def make_chain(dj=dj, kw=kw, out_shape=out_shape):
+            # db and profile enter as traced ARGUMENTS — a closure capture
+            # would embed them as HLO constants and blow up the remote
+            # compile request (HTTP 413 at lb=16384: a 256 MB constant).
             @jax.jit
-            def chain(reps):
+            def chain2(reps, d, pq):
                 def body(i, carry):
                     acc, _ = carry
                     bump = (i % 4).astype(jnp.int32)
-                    p = (pj.at[:, 0, 0].add(bump) if nq > 1
-                         else pj.at[0, 0].add(bump))
-                    out = sw_pallas_windows(p, dj, -3, -1, **kw)
+                    p = (pq.at[:, 0, 0].add(bump) if nq > 1
+                         else pq.at[0, 0].add(bump))
+                    out = sw_pallas_windows(p, d, -3, -1, **kw)
                     return acc + out.reshape(-1)[0], out
 
                 return jax.lax.fori_loop(
@@ -153,7 +166,7 @@ def main() -> int:
                     (jnp.zeros((), jnp.int32),
                      jnp.zeros(out_shape, jnp.int32)))
 
-            return chain
+            return lambda reps: chain2(reps, dj, pj)
 
         chain = make_chain()
         t0 = time.time()
@@ -192,7 +205,7 @@ def main() -> int:
         return 1
 
     hi = args.reps_hi
-    cells = nq * lq * lb * 1024  # per window per rep
+    cells = nq * lq * lb * args.sl * 128  # per window per rep
 
     def one(chain, reps):
         t0 = time.perf_counter()
@@ -235,7 +248,8 @@ def main() -> int:
         med = float(np.median(gs)) if gs else 0.0
         spread = (gs[-1] - gs[0]) / med * 100 if med else 0.0
         note = f", {dropped} non-physical sample(s) dropped" if dropped else ""
-        print(f"v{i} {cfg}: exact={ok}  median {med:6.1f} GCUPS "
+        ex = "skipped(const-S)" if args.const_s else ok
+        print(f"v{i} {cfg}: exact={ex}  median {med:6.1f} GCUPS "
               f"(spread {spread:.1f}%{note})", flush=True)
         meds.append(med)
     # Winner selection only over variants that passed the exactness check
