@@ -1359,6 +1359,15 @@ _SHAPES_STRIPE = [
 # stacked pack=1 entry keeps unknown-bias callers on the stacked path;
 # chunked entries remain as VMEM fallbacks for huge nq*lq stacks.
 _SHAPES_MQ = [
+    # Round-5 adoption: at nq=8/lq=17 (the reference's benchmark regime,
+    # row-stacked) the 16-chain full-height (4,4,2) pack=2 measured
+    # 246.2-246.3 GCUPS aggregate vs the prior (2,4,2) pack=2 head's
+    # 232.4-232.8 — +5.8% at 0.5-2.5% spread over two independent
+    # interleaved A/Bs (docs/hw_r5/abmq2.log, abmq3.log). More chains
+    # exceed VMEM at this stack height ((8,4)/(4,8)/(6,4) all SKIP);
+    # pack=4 loses (209.7 — the +11% per-query padding to the (ui=2,
+    # pack=4) lattice outweighs the taller dot).
+    (4, 4, 2, 6, True, 2),
     (2, 4, 2, 6, True, 2), (2, 4, 2, 6, True, 4), (4, 4, 2, 6, True, 4),
     (2, 4, 2, 6, True),
     (8, 4, 8, 6, False), (6, 4, 4, 6, False),
