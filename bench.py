@@ -679,7 +679,7 @@ def _mq_point(jax, jnp, db, sc, aa20, rng, pack_cache):
         "vs_published_entries_per_s": round(
             nq * db.n / mdt / BASELINE_ENTRIES_PER_S, 2
         ),
-        "production_path": "row-stacked multi-query (round-4 adoption)",
+        "production_path": "row-stacked multi-query (round-4 adoption; round-5 (4,4,2) pack2 shape)",
     }
 
 
