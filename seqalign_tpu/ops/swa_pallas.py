@@ -1368,7 +1368,15 @@ _SHAPES_MQ = [
     # pack=4 loses (209.7 — the +11% per-query padding to the (ui=2,
     # pack=4) lattice outweighs the taller dot).
     (4, 4, 2, 6, True, 2),
-    (2, 4, 2, 6, True, 2), (2, 4, 2, 6, True, 4), (4, 4, 2, 6, True, 4),
+    # Round-5 adoption #2 — tall stacks prefer pack=4: when the 16-chain
+    # pack=2 head no longer fits (stacked rows >~200), the pack=4 sibling
+    # wins decisively: 266.0 vs 237.4 at nq=2/lq=144 (288 rows, 0.8-1.7%
+    # spread) and 276.9 vs 259.3 at nq=8/lq=48 (384 rows, 1.1-1.5%) —
+    # docs/hw_r5/abmq144.log, abmq48.log. The short-stack pack=4 loss
+    # (209.7 at nq=8/lq=17) is unreachable here: the pack=2 head fits
+    # and wins that regime. Bias >31 falls through to pack=2 unchanged.
+    (2, 4, 2, 6, True, 4),
+    (2, 4, 2, 6, True, 2), (4, 4, 2, 6, True, 4),
     (2, 4, 2, 6, True),
     (8, 4, 8, 6, False), (6, 4, 4, 6, False),
     (8, 4, 8, 0, False), (8, 4, 4, 0, False), (6, 4, 4, 0, False),
