@@ -1325,6 +1325,13 @@ _SHAPES_XLONG = [
 # VMEM-gated per lq by choose_config, so huge queries where full height
 # no longer fits fall through to the pipe=0 unroll shapes unchanged.
 _SHAPES_XXLONG = [
+    # Round-5 adoption: 16 chains at full height win the lower XXLONG
+    # band — (2,8,16) pack=4 measured 277.9 GCUPS vs (1,8,16)'s 259.8
+    # at lq=256 (+7.0%, spreads 1.2-2.5%, interleaved high-work A/B,
+    # docs/hw_r5/ab_lq256.log). Fits full-height through lq=384; at
+    # 448+ it exceeds VMEM and selection falls through to (1,8,16),
+    # the measured lq=512 production (276.2, ab_lq512.log).
+    (2, 8, 16, 6, True, 4),
     (1, 8, 16, 6, True, 4), (2, 4, 16, 6, True, 4),
     (4, 4, 16, 0, False), (2, 4, 16, 0, False), (2, 8, 16, 0, False),
     (1, 4, 32, 0, False), (1, 4, 16, 0, False), (1, 4, 8, 0, False),
