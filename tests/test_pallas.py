@@ -541,6 +541,31 @@ class TestPallasInterpret:
             if any_packed and any_packed.pack == 4:
                 assert cfgs["at"] == 4, (lq, cfgs)
 
+    def test_choose_config_round5_adoptions(self):
+        """The round-5 hardware adoptions are what the tables select
+        (docs/hw_r5/ab_lq256.log, abmq2/3.log, abmq144.log, abmq48.log,
+        stripe_confirm2.log) — a table regression must fail loudly."""
+        from seqalign_tpu.ops.swa_pallas import STRIPE_ROWS, choose_config
+
+        # XXLONG lower band: 16-chain full-height pack4 through lq=384,
+        # falling back to (1,8,16) where VMEM rejects it (448+).
+        for lq in (256, 384):
+            c = choose_config(lq, max_abs_bias=18.0)
+            assert (c.nw, c.jb, c.ui, c.pack) == (2, 8, 16, 4), (lq, c)
+            assert c.ic >= lq and c.pipe == 6
+        c = choose_config(512, max_abs_bias=18.0)
+        assert (c.nw, c.jb, c.pack) == (1, 8, 4), c
+        # Row-stacked mq: 16-chain pack2 head at the reference's regime;
+        # tall stacks prefer pack4.
+        c = choose_config(17, nq=8, max_abs_bias=18.0)
+        assert (c.nw, c.jb, c.pack) == (4, 4, 2), c
+        for nq, lq in ((8, 48), (2, 144)):
+            c = choose_config(lq, nq=nq, max_abs_bias=18.0)
+            assert (c.nw, c.jb, c.pack) == (2, 4, 4), (nq, lq, c)
+        # Striped production: packed stripes at full stripe height.
+        c = choose_config(STRIPE_ROWS, max_abs_bias=18.0, striped=True)
+        assert (c.nw, c.jb, c.pipe, c.pack) == (2, 4, 6, 4), c
+
     def test_choose_config_upk_floor_only(self):
         """"floor" is the only extraction mode (round pruned, round 5):
         explicit floor and the default both work; a bias above the pack=2
