@@ -1385,6 +1385,15 @@ _SHAPES_MQ = [
     (2, 4, 2, 6, True, 4),
     (2, 4, 2, 6, True, 2), (4, 4, 2, 6, True, 4),
     (2, 4, 2, 6, True),
+    # Round-5 adoption #3 — deep stacks (full height beyond VMEM, e.g.
+    # nq=64/lq=17 = 1152 rows) run fused pack=2 with the largest fitting
+    # chunk: 256.4 GCUPS aggregate (2.3% spread) vs 243.3 for the pack=4
+    # sibling — and the former pipe0 production (1,4,4,304,0,1) now
+    # CRASHES the remote compiler (HTTP 500, docs/hw_r5/abmq64.log), so
+    # this entry also removes a broken pick from the table's hot path
+    # (the pipeline's compile-retry ladder would have caught it at
+    # dispatch, but production should not lean on the fallback).
+    (1, 4, 2, 6, "max", 2),
     (8, 4, 8, 6, False), (6, 4, 4, 6, False),
     (8, 4, 8, 0, False), (8, 4, 4, 0, False), (6, 4, 4, 0, False),
     (4, 4, 4, 0, False), (2, 4, 4, 0, False), (1, 4, 4, 0, False),
@@ -1536,7 +1545,23 @@ def choose_config(
         ic_budget1, _, _ = _vmem_ic_budget(
             lq, nw_c, jb, ui, pipe, pk, nq, reserve, nc1=True
         )
-        if full_ic:
+        if full_ic == "max":
+            # largest fitting EVEN chunking (full height if it fits, else
+            # the fewest equal double-buffered chunks) — the deep-stack mq
+            # regime's winner: at nq=64/lq=17 the fused (1,4,2) pack=2
+            # with 4 even 288-row chunks measured 255.0-256.4 GCUPS
+            # aggregate; the biggest-possible-chunk variant (ic=362,
+            # ragged 66-row tail) lost by 5.0% and tiny lat-row chunks
+            # waste dots (docs/hw_r5/abmq64.log, abmq64b.log)
+            cap = int(ic_budget // lat) * lat
+            if ic_budget1 >= lqp:
+                ic = lqp
+            elif cap >= lat:
+                ncks = -(-lqp // cap)
+                ic = -(-lqp // (ncks * lat)) * lat
+            else:
+                ic = 0
+        elif full_ic:
             # the whole padded query's S in one dot per grid step
             ic = lqp if ic_budget1 >= lqp else 0
         elif pipe:

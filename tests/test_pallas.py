@@ -562,6 +562,10 @@ class TestPallasInterpret:
         for nq, lq in ((8, 48), (2, 144)):
             c = choose_config(lq, nq=nq, max_abs_bias=18.0)
             assert (c.nw, c.jb, c.pack) == (2, 4, 4), (nq, lq, c)
+        # Deep stacks: fused pack2 with even max chunks — and NOT the old
+        # pipe0 pick, which crashes the round-5 remote compiler.
+        c = choose_config(17, nq=64, max_abs_bias=18.0)
+        assert (c.nw, c.jb, c.ui, c.ic, c.pipe, c.pack) == (1, 4, 2, 288, 6, 2), c
         # Striped production: packed stripes at full stripe height.
         c = choose_config(STRIPE_ROWS, max_abs_bias=18.0, striped=True)
         assert (c.nw, c.jb, c.pipe, c.pack) == (2, 4, 6, 4), c
