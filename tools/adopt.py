@@ -64,6 +64,10 @@ RE_LONGPAIR = re.compile(
     r"^longpair lq=(\d+):\s+(-?[\d.]+) GCUPS wall \((.+)\)$"
 )
 RE_STRIPED_VERIFY = re.compile(r"^striped verify lq=(\d+): exact=(\w+)$")
+RE_AB_VARIANT = re.compile(
+    r"^v\d+ KernelConfig.*median\s+([\d.]+) GCUPS(?: wall)? "
+    r"\(spread ([\d.]+)%"
+)
 RE_AB_WINNER = re.compile(
     r"^WINNER v(\d+): (KernelConfig\(.*?\))(?: sr=(\d+))?\s+"
     r"([\d.]+) GCUPS \(([\d.]+)x vs v0\)$"
@@ -168,8 +172,10 @@ class LogModel:
         self.mq64: tuple | None = None
         self.striped_verify: list[tuple[int, str]] = []
         # interleaved A/B winner lines (longpair_check --ab / ab_check):
-        # (step_desc, cfg_text, stripe_rows|None, gcups, ratio_vs_v0)
-        self.ab_winners: list[tuple[str, str, int | None, float, float]] = []
+        # (step_desc, cfg_text, stripe_rows|None, gcups, ratio_vs_v0,
+        #  max measured spread % among the step's variants)
+        self.ab_winners: list[
+            tuple[str, str, int | None, float, float, float]] = []
         self.critical: list[str] = []
         self.fails: list[str] = []
         self.steps: list[tuple[str, str, int | None]] = []
@@ -189,6 +195,8 @@ class LogModel:
 def parse(paths: list[str]) -> LogModel:
     m = LogModel()
     step_id, step_desc = "-", "(no step header)"
+    ab_step_spread = 0.0  # max measured spread among the current
+    # step's interleaved A/B variants (reset at each WINNER line)
     upk_round = const_s = False
     cur_band: Band | None = None
 
@@ -258,13 +266,20 @@ def parse(paths: list[str]) -> LogModel:
                     m.longpair.append((step_desc, int(lp.group(1)),
                                        float(lp.group(2)), lp.group(3)))
                     continue
+                av = RE_AB_VARIANT.match(line)
+                if av:
+                    ab_step_spread = max(ab_step_spread,
+                                         float(av.group(2)))
+                    continue
                 ab = RE_AB_WINNER.match(line)
                 if ab:
                     m.ab_winners.append((
                         step_desc, ab.group(2),
                         int(ab.group(3)) if ab.group(3) else None,
                         float(ab.group(4)), float(ab.group(5)),
+                        ab_step_spread,
                     ))
+                    ab_step_spread = 0.0
                     continue
                 sv = RE_STRIPED_VERIFY.match(line)
                 if sv:
@@ -555,12 +570,20 @@ def report(m: LogModel) -> int:
     # --- interleaved A/B winners (longpair_check --ab / ab_check) ---
     if m.ab_winners:
         out.append("== interleaved A/B winners ==")
-        for desc, cfg_text, sr, g, ratio in m.ab_winners:
+        for desc, cfg_text, sr, g, ratio, spread in m.ab_winners:
             out.append(f"  [{desc[:58]}] {cfg_text}"
                        + (f" sr={sr}" if sr else "")
-                       + f": {g:.1f} GCUPS, {ratio:.3f}x vs v0")
+                       + f": {g:.1f} GCUPS, {ratio:.3f}x vs v0"
+                       + (f" (step spread {spread:.1f}%)" if spread
+                          else ""))
             cfg = parse_cfg(cfg_text)
-            if cfg is None or ratio <= 1 + SPREAD_FLOOR / 100:
+            # Gate the win on the step's own MEASURED spread (the
+            # round-5 high-work interleaved method reaches 0.5-2.5%,
+            # making 3-5% wins decidable) with a 1.5% honesty floor;
+            # steps with no parsed variant spreads fall back to the
+            # legacy 6% band.
+            gate = max(spread, 1.5) if spread else SPREAD_FLOOR
+            if cfg is None or ratio <= 1 + gate / 100:
                 continue
             if sr:  # striped A/B: the table entry keys on stripe rows
                 lat = cfg["ui"] * cfg["pack"] // math.gcd(
