@@ -11,8 +11,13 @@ bit-exact differential): same ground truth, 48,000 records by default.
 Round-5 run: 48,000 records, PAM250, qlen=144 — 0 mismatches, identical
 checksums (docs/ROUND5.md).
 
+Queries longer than the flat kernel's VMEM rows route to the striped
+(unbounded-query) production automatically, mirroring the pipeline; the
+round-5 striped run (lq=35,000 x 256 records) was also 0 mismatches.
+
 Usage (TPU host; builds the reference binary if missing):
   python tools/scale_diff.py [n_records] [--matrix PAM250] [--go -2 --ge -1]
+  python tools/scale_diff.py 256 --qlen 35000     # striped path
 """
 
 import argparse
@@ -81,7 +86,12 @@ def main() -> int:
     print(out.splitlines()[0])
 
     from seqalign_tpu.models import ScoringModel, load_builtin
-    from seqalign_tpu.ops.swa_pallas import choose_config, sw_pallas_stream
+    from seqalign_tpu.ops.swa_pallas import (
+        STRIPE_ROWS,
+        choose_config,
+        sw_pallas_stream,
+        sw_pallas_stream_striped,
+    )
     from seqalign_tpu.ops.swa_xla import make_profile
     from seqalign_tpu.pipeline import _db_from_encoded
     from seqalign_tpu.utils.packing import pack_streams
@@ -102,14 +112,24 @@ def main() -> int:
     go, ge = sc.gap_open_total, sc.gap_extend
     pmax = float(np.max(np.abs(prof.astype(np.float64) - go)))
     cfg = choose_config(qlen, reserve=(1 << 20), max_abs_bias=pmax)
-    print("production cfg:", cfg)
+    striped = cfg is None  # query too tall for the flat kernel: the
+    # pipeline routes it to the striped production — mirror that here
+    if striped:
+        cfg = choose_config(STRIPE_ROWS, reserve=(1 << 20),
+                            max_abs_bias=pmax, striped=True)
+    print("production cfg:", cfg, "(striped)" if striped else "")
     db = _db_from_encoded(seqs)
     order = np.argsort(-db.lengths, kind="stable")
     pack = pack_streams(db, order, cfg.nw, win=1024, jb=cfg.jb, grain=16)
-    res = np.asarray(sw_pallas_stream(
-        prof, pack.streams, pack.fs, go, ge, nslots=len(pack.slot_ids),
-        nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic, pipe=cfg.pipe,
-        pack=cfg.pack, upk=cfg.upk))
+    kw = dict(nslots=len(pack.slot_ids), nw=cfg.nw, jb=cfg.jb, ui=cfg.ui,
+              ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack, upk=cfg.upk)
+    if striped:
+        res = np.asarray(sw_pallas_stream_striped(
+            prof, pack.streams, pack.fs, go, ge,
+            stripe_rows=STRIPE_ROWS, **kw))
+    else:
+        res = np.asarray(sw_pallas_stream(
+            prof, pack.streams, pack.fs, go, ge, **kw))
     scores = np.zeros(n, np.int32)
     for slot, ids in enumerate(pack.slot_ids):
         scores[ids] = res[slot][: len(ids)]
