@@ -11,9 +11,16 @@ time-slice of the session equally.  Medians across rounds are then
 directly comparable; the reported spread is honest run-to-run noise.
 
 Timing discipline mirrors tools/exp_pack.py (ONE jitted dynamic-rep
-program per variant; two-point (1, 9)-rep subtraction cancels dispatch
-overhead) — see exp_pack's docstring for why.  Exactness of every
-variant is verified against the CPU wavefront engine before timing.
+program per variant; two-point (1, reps_hi)-rep subtraction cancels
+dispatch overhead) — see exp_pack's docstring for why.  Exactness of
+every variant is verified against the CPU wavefront engine before
+timing.
+
+High-work settings (round-5 lesson): the per-sample two-point diff must
+clear the tunnel's ms-scale noise floor or medians are fiction — lq=17
+at the default lb=2048 swung 145→236 GCUPS on noise; at --lb 16384
+--reps-hi 33 spreads collapse to <2%.  Size --lb/--reps-hi so a single
+diff spans >=0.1 s.
 
 Usage (TPU host):
   python tools/ab_check.py --lq 144 --rounds 5 \
@@ -22,6 +29,7 @@ Usage (TPU host):
 """
 
 import argparse
+import dataclasses
 import os
 import sys
 import time
@@ -127,7 +135,6 @@ def main() -> int:
         nw, jb, ui, ic, pipe, pack, upk = v
         cfg = KernelConfig(nw=nw, jb=jb, ui=ui, ic=ic, pipe=pipe,
                            pack=pack, upk=upk)
-        import dataclasses
         proxy = (dataclasses.replace(cfg, nw=nw * (args.sl // 8))
                  if args.sl != 8 else cfg)
         if not config_fits_vmem(lq, proxy, nq=nq):
