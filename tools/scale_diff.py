@@ -57,6 +57,12 @@ def main() -> int:
     p.add_argument("--ge", type=int, default=-1)
     p.add_argument("--qlen", type=int, default=144)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--random-matrix", type=int, default=None,
+                   metavar="SEED",
+                   help="use a random asymmetric substitution table "
+                   "(gen_workload.write_random_matrix) instead of a "
+                   "builtin — the at-scale extension of the randomized "
+                   "differential in tests/test_reference_binary.py")
     args = p.parse_args()
 
     from seqalign_tpu.pipeline import _enable_compile_cache
@@ -72,7 +78,12 @@ def main() -> int:
     db_bin, mat = "/tmp/scale_db.bin", "/tmp/scale_matrix.txt"
     gen_workload.write_workload(db_bin, n=args.n, query_len=args.qlen,
                                 seed=args.seed)
-    gen_workload.write_matrix(mat, name=args.matrix)
+    if args.random_matrix is not None:
+        rnd_table = gen_workload.write_random_matrix(
+            mat, seed=args.random_matrix)
+    else:
+        rnd_table = None
+        gen_workload.write_matrix(mat, name=args.matrix)
 
     out = subprocess.run(
         [str(binary), db_bin, mat, "1", str(args.go), str(args.ge)],
@@ -96,11 +107,16 @@ def main() -> int:
     from seqalign_tpu.pipeline import _db_from_encoded
     from seqalign_tpu.utils.packing import pack_streams
 
-    sc = load_builtin(
-        args.matrix,
-        ScoringModel(gap_open=args.go, gap_extend=args.ge,
-                     use_match_mismatch=False),
-    )
+    if rnd_table is not None:
+        sc = ScoringModel(gap_open=args.go, gap_extend=args.ge,
+                          use_match_mismatch=False)
+        sc.table[...] = rnd_table
+    else:
+        sc = load_builtin(
+            args.matrix,
+            ScoringModel(gap_open=args.go, gap_extend=args.ge,
+                         use_match_mismatch=False),
+        )
     with open(db_bin, "rb") as f:
         n = int(np.frombuffer(f.read(8), np.int64)[0])
         qlen = int(np.frombuffer(f.read(8), np.int64)[0])
@@ -136,7 +152,9 @@ def main() -> int:
 
     bad = np.flatnonzero(scores != ref)
     print(f"checksum ours={int(scores.sum())} ref={int(ref.sum())}")
-    print(f"AT-SCALE DIFFERENTIAL ({n} records, {args.matrix}, "
+    mname = (f"random-matrix seed={args.random_matrix}"
+             if rnd_table is not None else args.matrix)
+    print(f"AT-SCALE DIFFERENTIAL ({n} records, {mname}, "
           f"qlen={qlen}): mismatches={len(bad)}")
     if len(bad):
         for i in bad[:10]:
