@@ -127,6 +127,7 @@ def _run_block(
     pipe: int = 0,
     pack: int = 1,
     upk: str | None = None,  # None = PRODUCTION_UPK (resolved by wrappers)
+    sdt: str = "bf16",  # S-dot operand dtype ("bf16" | "int8", pipe=6 pack=1)
     const_s: bool = False,
 ):
     """Advance the DP over one j-block (JB db positions x all query rows).
@@ -188,6 +189,15 @@ def _run_block(
             f"pipe={pipe} was pruned (round 5): only 0/5/6 exist; the "
             "removed modes' negative results live in docs/DESIGN.md"
         )
+    if sdt not in ("bf16", "int8"):
+        raise ValueError(f"sdt={sdt!r}: only 'bf16' and 'int8' exist")
+    if sdt == "int8" and (pipe != 6 or pack != 1):
+        # int8 S-dot (round 5): the MXU's int8 path streams the K axis at
+        # 2x the bf16 rate (tools/dot_probe.py: 0.55x dot time at the
+        # short band's (18,32)@(32,N) shape), but int8 fields cannot carry
+        # packed scales, and only the pipe=6 fused dot was integrated —
+        # the pack>1 bands already cut the dot cost 4x by packing.
+        raise ValueError("sdt='int8' requires pipe=6 and pack=1")
     if lqe is None:
         lqe = lqp
     go_f = jnp.float32(go)
@@ -243,9 +253,13 @@ def _run_block(
         )
         if pack > 1:
             c_iota6 = jnp.bitwise_and(c_iota6, ALPHA - 1)
+        # sdt="int8": the one-hot and profile feed the MXU's int8 path
+        # (half the bf16 K-stream cost; int8->int32 dots compile in
+        # Mosaic even though int8 ELEMENTWISE vector ops do not — the
+        # bool->int8 cast here is the one exception that lowers).
         onehot_all = (
             c_iota6 == d.reshape(nw * jb * sl, LANES)[None]
-        ).astype(jnp.bfloat16)
+        ).astype(jnp.int8 if sdt == "int8" else jnp.bfloat16)
     else:
         c_iota = jax.lax.broadcasted_iota(jnp.int32, (ALPHA, sl, LANES), 0)
         # One-hot encodings are chunk-invariant: build once per grid step.
@@ -285,6 +299,18 @@ def _run_block(
         if pipe == 6:
             icp = ic // pack  # packed rows per chunk (pack=1: just ic)
             p_chunk = prof_ref[pl.ds(c * icp, icp), :]
+            if sdt == "int8":
+                # int8 x int8 -> int32 on the MXU (preferred f32 from int8
+                # inputs crashes the remote compiler, HTTP 500); the
+                # int32->f32 store cast is one VPU op per result vreg,
+                # small next to the halved K-stream at pack=1 shapes.
+                s_buf[sbase] = jax.lax.dot_general(
+                    p_chunk,
+                    onehot_all,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(s_buf.dtype)
+                return
             s_buf[sbase] = jax.lax.dot_general(
                 p_chunk,
                 onehot_all,
@@ -724,6 +750,10 @@ class KernelConfig:
     # |P'| bounds each pack level requires
     upk: str = "floor"  # packed-field extraction mode; "floor" is the
     # only mode (see the PRODUCTION_UPK note for the pruned "round")
+    sdt: str = "bf16"  # S-dot operand dtype: "bf16", or "int8" (pipe=6
+    # pack=1 only; the MXU's int8 path halves the K-stream cost —
+    # tools/dot_probe.py — and is exact for |P'| <= 127, gated by
+    # choose_config(max_abs_bias=...))
 
 
 def _pack_profile(
@@ -761,7 +791,7 @@ def _pack_profile(
     jax.jit,
     static_argnames=(
         "go", "ge", "sl", "nw", "jb", "ic", "ui", "pipe", "pack", "upk",
-        "const_s", "interpret",
+        "sdt", "const_s", "interpret",
     ),
 )
 def sw_pallas_windows(
@@ -778,6 +808,7 @@ def sw_pallas_windows(
     pipe: int = 0,
     pack: int = 1,
     upk: str | None = None,  # None = PRODUCTION_UPK (resolved by wrappers)
+    sdt: str = "bf16",  # S-dot dtype; "int8" needs pipe=6 pack=1, |P'|<=127
     const_s: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
@@ -839,14 +870,16 @@ def sw_pallas_windows(
     prof = (
         _pack_profile(prof, pack, upk)
         if pack > 1
-        else prof.astype(jnp.bfloat16)
+        # int8 S-dot operands (sdt gate: caller guarantees |P'| <= 127 --
+        # exact, since every biased score is an integer; see choose_config)
+        else prof.astype(jnp.int8 if sdt == "int8" else jnp.bfloat16)
     )
     dbb = db_windows.astype(jnp.int32).reshape(nw, nj, jb, sl, LANES)
 
     kernel = functools.partial(
         _kernel, lqp=lqp, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui, nc=nc,
         go=int(go), ge=int(ge), nq=nq, lqe=lqe, pipe=pipe, pack=pack,
-        upk=upk, const_s=const_s,
+        upk=upk, sdt=sdt, const_s=const_s,
     )
     out = pl.pallas_call(
         kernel,
@@ -895,7 +928,7 @@ def sw_pallas_windows(
     jax.jit,
     static_argnames=(
         "go", "ge", "nslots", "sl", "nw", "jb", "ic", "ui", "pipe", "pack",
-        "upk", "interpret",
+        "upk", "sdt", "interpret",
     ),
 )
 def sw_pallas_stream(
@@ -914,6 +947,7 @@ def sw_pallas_stream(
     pipe: int = 0,
     pack: int = 1,
     upk: str | None = None,
+    sdt: str = "bf16",  # S-dot dtype; "int8" needs pipe=6 pack=1, |P'|<=127
     interpret: bool = False,
 ) -> jax.Array:
     """Score one or more queries against a segmented database in one dispatch.
@@ -968,14 +1002,16 @@ def sw_pallas_stream(
     prof = (
         _pack_profile(prof, pack, upk)
         if pack > 1
-        else prof.astype(jnp.bfloat16)
+        # int8 S-dot operands (sdt gate: caller guarantees |P'| <= 127 --
+        # exact, since every biased score is an integer; see choose_config)
+        else prof.astype(jnp.int8 if sdt == "int8" else jnp.bfloat16)
     )
     dbb = streams.astype(jnp.int32).reshape(nw, nj, jb, sl, LANES)
 
     kernel = functools.partial(
         _kernel_stream, lqp=lqp, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui, nc=nc,
         go=int(go), ge=int(ge), nq=nq, lqe=lqe, pipe=pipe, pack=pack,
-        upk=upk,
+        upk=upk, sdt=sdt,
     )
     out = pl.pallas_call(
         kernel,
@@ -1025,13 +1061,13 @@ def sw_pallas_stream(
     jax.jit,
     static_argnames=(
         "go", "ge", "nslots", "sl", "nw", "jb", "ic", "ui",
-        "has_in", "has_out", "pipe", "pack", "upk", "interpret",
+        "has_in", "has_out", "pipe", "pack", "upk", "sdt", "interpret",
     ),
 )
 def _stream_striped_pass(
     profile, streams, fs, bnd_in, go, ge, *,
     nslots, sl, nw, jb, ic, ui, has_in, has_out,
-    pipe=0, pack=1, upk="floor", interpret=False,
+    pipe=0, pack=1, upk="floor", sdt="bf16", interpret=False,
 ):
     """One stripe pass of the striped stream kernel. Internal."""
     lq = profile.shape[0]
@@ -1047,14 +1083,16 @@ def _stream_striped_pass(
     prof = (
         _pack_profile(prof, pack, upk)
         if pack > 1
-        else prof.astype(jnp.bfloat16)
+        # int8 S-dot operands (sdt gate: caller guarantees |P'| <= 127 --
+        # exact, since every biased score is an integer; see choose_config)
+        else prof.astype(jnp.int8 if sdt == "int8" else jnp.bfloat16)
     )
     dbb = streams.astype(jnp.int32).reshape(nw, nj, jb, sl, LANES)
 
     kernel = functools.partial(
         _kernel_stream_striped, lqp=lqp, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui,
         nc=nc, go=int(go), ge=int(ge), has_in=has_in, has_out=has_out,
-        pipe=pipe, pack=pack, upk=upk,
+        pipe=pipe, pack=pack, upk=upk, sdt=sdt,
     )
     in_specs = [
         pl.BlockSpec((1, nw, 2), lambda j: (j, 0, 0), memory_space=pltpu.SMEM),
@@ -1140,6 +1178,7 @@ def sw_pallas_stream_striped(
     pipe: int = 0,
     pack: int = 1,
     upk: str | None = None,
+    sdt: str = "bf16",  # S-dot dtype; "int8" needs pipe=6 pack=1, |P'|<=127
     interpret: bool = False,
 ) -> jax.Array:
     """Segmented-stream scoring for queries of ANY length via row striping.
@@ -1173,7 +1212,7 @@ def sw_pallas_stream_striped(
             pstr, streams, fs, bnd, go, ge,
             nslots=nslots, sl=sl, nw=nw, jb=jb, ic=ic, ui=ui,
             has_in=pth > 0, has_out=pth < n_stripes - 1,
-            pipe=pipe, pack=pack, upk=upk,
+            pipe=pipe, pack=pack, upk=upk, sdt=sdt,
             interpret=interpret,
         )
         best = out if best is None else jnp.maximum(best, out)
@@ -1265,6 +1304,7 @@ def sw_pallas_multi(
         pipe=cfg.pipe,
         pack=cfg.pack,
         upk=cfg.upk,
+        sdt=cfg.sdt,
         interpret=interpret,
     )
 
@@ -1407,6 +1447,9 @@ _SHAPES_MQ = [
 #: below the next field's unit).
 PACK_BOUNDS = {1: float(_BF16_EXACT), 2: 128.0, 4: 31.0}
 
+#: max |P'| exactly representable by int8 S-dot operands (sdt="int8").
+INT8_SDT_BOUND = 127.0
+
 #: Packed-field extraction mode: "floor" is the ONLY mode. A "round"
 #: variant (signed fields, round-to-nearest extraction: fewer VPU ops
 #: per group, 12 vs 15, and a wider pack=2 bound of 255) existed through
@@ -1529,6 +1572,7 @@ def choose_config(
     for shape in shapes:
         nw_c, jb, ui, pipe, full_ic = shape[:5]
         pk = shape[5] if len(shape) > 5 else 1
+        sdtv = shape[6] if len(shape) > 6 else "bf16"
         if nw is not None and nw_c != nw:
             continue
         if nw_max is not None and nw_c > nw_max:
@@ -1536,6 +1580,13 @@ def choose_config(
         if pk > 1 and (
             max_abs_bias is None or max_abs_bias > bounds[pk]
         ):
+            continue
+        if sdtv == "int8" and (
+            max_abs_bias is None or max_abs_bias > INT8_SDT_BOUND
+        ):
+            # int8 S-dot operands represent |P'| <= 127 exactly; callers
+            # that have not inspected their profile fall through to the
+            # bf16 sibling, same rule as the pack gate above.
             continue
         ic_budget, lat, lqp = _vmem_ic_budget(
             lq, nw_c, jb, ui, pipe, pk, nq, reserve
@@ -1576,7 +1627,8 @@ def choose_config(
             ic = lat if ic_budget >= lat else 0
         if ic >= ui:
             return KernelConfig(
-                nw=nw_c, jb=jb, ui=ui, ic=ic, pipe=pipe, pack=pk, upk=upk
+                nw=nw_c, jb=jb, ui=ui, ic=ic, pipe=pipe, pack=pk, upk=upk,
+                sdt=sdtv,
             )
     return None  # no validated shape fits VMEM: route to the XLA engine
 

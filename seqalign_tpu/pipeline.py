@@ -475,6 +475,7 @@ def _stream_search(
                         nslots=nslots_c, nw=nw, jb=cfg.jb, ui=cfg.ui,
                         ic=cfg.ic, stripe_rows=stripe_rows,
                         pipe=cfg.pipe, pack=cfg.pack, upk=cfg.upk,
+                        sdt=cfg.sdt,
                     )
                     run = lambda pd: sw_pallas_stream_striped(
                         pd, streams_dev, fs_dev, go, ge, **kw
@@ -484,7 +485,7 @@ def _stream_search(
                     kw = dict(
                         nslots=nslots_c, nw=nw, jb=cfg.jb, ui=cfg.ui,
                         ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack,
-                        upk=cfg.upk,
+                        upk=cfg.upk, sdt=cfg.sdt,
                     )
                     # AOT-compile outside the timed region: the reference's
                     # timer also excludes everything but the kernel loop

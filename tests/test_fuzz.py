@@ -105,11 +105,13 @@ def test_fuzz_stream_kernel(trial):
     # own profile pad/pack staging and static-arg threading).
     pipe, pk = [(0, 1), (6, 1), (6, 2), (6, 4)][int(rng.integers(0, 4))]
     rng.choice(["floor", "round"])  # consume: keeps prior seeds' draws
+    sdt = ("int8" if (pipe, pk) == (6, 1) and rng.random() < 0.5
+           else "bf16")
     out = np.asarray(
         sw_pallas_stream(
             profile, pack.streams, pack.fs, go, ge,
             nslots=len(pack.slot_ids), nw=nw, jb=jb,
-            ui=int(rng.choice([2, 4])), pipe=pipe, pack=pk,
+            ui=int(rng.choice([2, 4])), pipe=pipe, pack=pk, sdt=sdt,
             interpret=True,
         )
     )
@@ -159,10 +161,14 @@ def test_fuzz_packed_config_lattice(trial):
     rng.choice(["floor", "round"])  # consume: keeps prior seeds' draws
     ui = int(rng.choice([2, 4]))
     ic = None if rng.random() < 0.5 else int(rng.integers(1, 2 * lq + 2))
+    # int8 S-dot (round 5) is defined exactly on the fused pack=1 path;
+    # |P - go| <= 24 stays inside its 127 bound.
+    sdt = ("int8" if (pipe, pack) == (6, 1) and rng.random() < 0.5
+           else "bf16")
     got = np.asarray(
         sw_pallas_windows(
             profile, db[None], go, ge, nw=1, jb=jb, ui=ui, ic=ic,
-            pipe=pipe, pack=pack, interpret=True,
+            pipe=pipe, pack=pack, sdt=sdt, interpret=True,
         )
     )
     if nq == 1:
@@ -171,7 +177,7 @@ def test_fuzz_packed_config_lattice(trial):
         for k in rng.choice(n, min(n, 6), replace=False):
             want = sw_score_single(queries[qi], seqs[k], table, gap_open, ge)
             assert got[qi, k] == want, (
-                trial, qi, k, pipe, pack, upk, ic, got[qi, k], want,
+                trial, qi, k, pipe, pack, sdt, ic, got[qi, k], want,
             )
 
 
@@ -198,11 +204,13 @@ def test_fuzz_striped_packed(trial):
     jb = 4
     pack_ = pack_streams(db, order, 1, win=1024, jb=jb, grain=8)
     pipe, pk = [(0, 1), (6, 1), (6, 2), (6, 4)][int(rng.integers(0, 4))]
+    sdt = ("int8" if (pipe, pk) == (6, 1) and rng.random() < 0.5
+           else "bf16")
     out = np.asarray(
         sw_pallas_stream_striped(
             profile, pack_.streams, pack_.fs, go, ge,
             nslots=len(pack_.slot_ids), nw=1, jb=jb, ui=2,
-            stripe_rows=8, pipe=pipe, pack=pk, interpret=True,
+            stripe_rows=8, pipe=pipe, pack=pk, sdt=sdt, interpret=True,
         )
     )
     scores = np.zeros(n, dtype=np.int32)

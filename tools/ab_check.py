@@ -41,11 +41,13 @@ import numpy as np
 
 def parse_cand(s):
     parts = s.split(",")
-    if len(parts) not in (6, 7):
-        raise ValueError(f"--cand wants nw,jb,ui,ic,pipe,pack[,upk]: {s}")
+    if len(parts) not in (6, 7, 8):
+        raise ValueError(
+            f"--cand wants nw,jb,ui,ic,pipe,pack[,upk[,sdt]]: {s}")
     nw, jb, ui, ic, pipe, pack = (int(x) for x in parts[:6])
-    upk = parts[6] if len(parts) == 7 else "floor"
-    return nw, jb, ui, ic, pipe, pack, upk
+    upk = parts[6] if len(parts) > 6 else "floor"
+    sdt = parts[7] if len(parts) > 7 else "bf16"
+    return nw, jb, ui, ic, pipe, pack, upk, sdt
 
 
 def main() -> int:
@@ -116,7 +118,8 @@ def main() -> int:
         base = choose_config(lq, nq=nq, max_abs_bias=18.0)
         if base is not None:
             variants.append((base.nw, base.jb, base.ui, base.ic,
-                             base.pipe, base.pack, base.upk or "floor"))
+                             base.pipe, base.pack, base.upk or "floor",
+                             base.sdt))
     for s in args.cand:
         variants.append(parse_cand(s))
     if not variants:
@@ -132,9 +135,9 @@ def main() -> int:
 
     built = []
     for v in variants:
-        nw, jb, ui, ic, pipe, pack, upk = v
+        nw, jb, ui, ic, pipe, pack, upk, sdt = v
         cfg = KernelConfig(nw=nw, jb=jb, ui=ui, ic=ic, pipe=pipe,
-                           pack=pack, upk=upk)
+                           pack=pack, upk=upk, sdt=sdt)
         proxy = (dataclasses.replace(cfg, nw=nw * (args.sl // 8))
                  if args.sl != 8 else cfg)
         if not config_fits_vmem(lq, proxy, nq=nq):
@@ -148,6 +151,8 @@ def main() -> int:
                   sl=args.sl)
         if pack > 1:
             kw["upk"] = upk
+        if sdt != "bf16":
+            kw["sdt"] = sdt
         if args.const_s:
             kw["const_s"] = True
 

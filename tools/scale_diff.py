@@ -138,7 +138,8 @@ def main() -> int:
     order = np.argsort(-db.lengths, kind="stable")
     pack = pack_streams(db, order, cfg.nw, win=1024, jb=cfg.jb, grain=16)
     kw = dict(nslots=len(pack.slot_ids), nw=cfg.nw, jb=cfg.jb, ui=cfg.ui,
-              ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack, upk=cfg.upk)
+              ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack, upk=cfg.upk,
+              sdt=cfg.sdt)
     if striped:
         res = np.asarray(sw_pallas_stream_striped(
             prof, pack.streams, pack.fs, go, ge,

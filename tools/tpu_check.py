@@ -311,6 +311,7 @@ def check_paths(rng) -> int:
             prof, pack.streams, pack.fs, go, ge,
             nslots=len(pack.slot_ids), nw=cfg.nw, jb=cfg.jb, ui=cfg.ui,
             ic=cfg.ic, pipe=cfg.pipe, pack=cfg.pack, upk=cfg.upk,
+            sdt=cfg.sdt,
         )
     )
     want = np.asarray(sw_wavefront(prof, flat, go, ge))
@@ -333,7 +334,7 @@ def check_paths(rng) -> int:
             profl, packs.streams, packs.fs, go, ge,
             nslots=len(packs.slot_ids), nw=cfgs.nw, jb=cfgs.jb, ui=cfgs.ui,
             ic=cfgs.ic, stripe_rows=192, pipe=cfgs.pipe, pack=cfgs.pack,
-            upk=cfgs.upk,
+            upk=cfgs.upk, sdt=cfgs.sdt,
         )
     )
     wantl = np.asarray(sw_wavefront(profl, flat, go, ge))
@@ -351,7 +352,8 @@ def check_paths(rng) -> int:
         sw_pallas_stream(
             profs, packm.streams, packm.fs, go, ge,
             nslots=len(packm.slot_ids), nw=cfgm.nw, jb=cfgm.jb, ui=cfgm.ui,
-            ic=cfgm.ic, pipe=cfgm.pipe,
+            ic=cfgm.ic, pipe=cfgm.pipe, pack=cfgm.pack, upk=cfgm.upk,
+            sdt=cfgm.sdt,
         )
     )
     for k in range(nq):
