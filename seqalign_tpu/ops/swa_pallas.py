@@ -1654,5 +1654,8 @@ def sw_pallas(profile, db, go, ge, *, interpret: bool = False):
         ui=cfg.ui,
         ic=cfg.ic,
         pipe=cfg.pipe,
+        pack=cfg.pack,
+        upk=cfg.upk,
+        sdt=cfg.sdt,
         interpret=interpret,
     )

@@ -556,18 +556,19 @@ def _stream_search(
                 # retry: silent degradation destroyed diagnosis in round 1.
                 import sys
 
-                if cfg.pack > 1:
-                    # Packed-production compile failure: retry the same
-                    # window count with packing off before shrinking nw
-                    # (the pack=1 sibling shape is the measured runner-up,
-                    # a smaller nw is much slower). Function-scoped
-                    # disable: later chunks skip the doomed packed
-                    # compile entirely.
+                if cfg.pack > 1 or cfg.sdt == "int8":
+                    # Packed or int8-dot production compile failure: retry
+                    # the same window count with the bias gate off before
+                    # shrinking nw (the plain bf16 pack=1 sibling shape is
+                    # the measured runner-up, a smaller nw is much slower).
+                    # Function-scoped disable: later chunks skip the
+                    # doomed compile entirely. pack_pmax=None gates out
+                    # BOTH pack>1 and sdt="int8" entries in choose_config.
                     print(
-                        f"Warning: packed stream kernel (pack={cfg.pack}) "
-                        f"compile failed at nw={nw} "
+                        f"Warning: stream kernel (pack={cfg.pack}, "
+                        f"sdt={cfg.sdt}) compile failed at nw={nw} "
                         f"({type(ex).__name__}: {str(ex)[:200]}); "
-                        "retrying without packed production.",
+                        "retrying with bias-gated production off.",
                         file=sys.stderr,
                     )
                     pack_pmax = None

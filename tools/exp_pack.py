@@ -115,7 +115,7 @@ def main() -> int:
         else:
             prof = rng.integers(-8, 12, (lq, 32)).astype(np.int32)
         kw = dict(nw=cfg.nw, jb=cfg.jb, ui=cfg.ui, ic=cfg.ic, pipe=cfg.pipe,
-                  pack=cfg.pack)
+                  pack=cfg.pack, sdt=cfg.sdt)
         if cfg.pack > 1 and args.upk != "floor":
             kw["upk"] = args.upk
         if args.const_s:
